@@ -1,0 +1,69 @@
+"""Functional multi-head (self/cross) attention.
+
+Semantics mirror the reference ``MultiheadSelfAttention``
+(models/unet/attention.py:12-100, models/clip/attention.py, and the VAE's
+inline AttentionBlock at models/vae/vae.py:42-132): q from x, k/v from
+``cond`` when given (cross-attention), optional causal mask, output
+projection.  The reference's SDPA-vs-flash_attn runtime toggle collapses into
+the ``impl`` argument of :func:`stable_diffusion_tpu.ops.sdpa`.
+
+Parameter tree: {"q_proj", "k_proj", "v_proj", "out_proj"} — linear params.
+(The VAE variant names them {"query", "key", "value", "proj_attn"}; see
+``vae.py``.)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from stable_diffusion_tpu.models import layers
+from stable_diffusion_tpu.ops.attention import sdpa
+
+
+def multihead_attention(
+    params,
+    x: jax.Array,
+    *,
+    num_heads: int,
+    cond: Optional[jax.Array] = None,
+    causal: bool = False,
+    impl: str = "auto",
+    names=("q_proj", "k_proj", "v_proj", "out_proj"),
+) -> jax.Array:
+    """x: (B, Sq, E); cond: (B, Sk, Ck) or None.  Returns (B, Sq, E)."""
+    qn, kn, vn, on = names
+    kv_in = x if cond is None else cond
+    b, sq, e = x.shape
+    d = e // num_heads
+
+    q = layers.linear(params[qn], x).reshape(b, sq, num_heads, d)
+    k = layers.linear(params[kn], kv_in).reshape(b, kv_in.shape[1], num_heads, d)
+    v = layers.linear(params[vn], kv_in).reshape(b, kv_in.shape[1], num_heads, d)
+
+    out = sdpa(q, k, v, causal=causal, impl=impl)
+    out = out.reshape(b, sq, e)
+    return layers.linear(params[on], out)
+
+
+def init_multihead_attention(
+    key,
+    embed_dim: int,
+    *,
+    cond_dim: Optional[int] = None,
+    qkv_bias: bool = True,
+    out_bias: bool = True,
+    names=("q_proj", "k_proj", "v_proj", "out_proj"),
+    dtype=jnp.float32,
+):
+    cond_dim = embed_dim if cond_dim is None else cond_dim
+    qn, kn, vn, on = names
+    ks = jax.random.split(key, 4)
+    return {
+        qn: layers.init_linear(ks[0], embed_dim, embed_dim, bias=qkv_bias, dtype=dtype),
+        kn: layers.init_linear(ks[1], cond_dim, embed_dim, bias=qkv_bias, dtype=dtype),
+        vn: layers.init_linear(ks[2], cond_dim, embed_dim, bias=qkv_bias, dtype=dtype),
+        on: layers.init_linear(ks[3], embed_dim, embed_dim, bias=out_bias, dtype=dtype),
+    }

@@ -1,0 +1,369 @@
+"""Config-driven UNet denoiser (SD 1.5 / 2.1 topology).
+
+Functional re-design of the reference UNet (models/unet/unet.py:15-461):
+
+  * NHWC activations, HWIO conv kernels, params as a name-preserving pytree
+    whose key paths mirror the reference module names (encoder.down.{i}.
+    block.{j}.{k}..., bottleneck.{0,1,2}, decoder.up.{i}..., output.{0,2}).
+  * The whole forward is trace-static: the decoder's "upsample unless the
+    next skip has the same spatial dim" rule (reference unet.py:346-349) is
+    evaluated on concrete trace-time shapes, so it compiles to a fixed graph.
+  * The reference hardcodes the bottleneck at 1280 channels (unet.py:383-391);
+    we use ``block_out_channels[-1]`` (the intended behavior), which is
+    identical for every real SD config and lets tiny test configs build.
+  * Attention-head bookkeeping follows the reference (unet.py:364-371):
+    ``num_attention_heads`` defaults to ``attention_head_dim`` (the diffusers
+    legacy quirk where SD's "head_dim" list is really the head count).
+
+Timestep embedding uses the cos-then-sin concat (flip_sin_to_cos=True
+diffusers convention; reference unet.py:197-220).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+
+from stable_diffusion_tpu.models import layers
+from stable_diffusion_tpu.models.attention import multihead_attention, init_multihead_attention
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """Mirrors the diffusers unet/config.json surface the reference parses
+    (models/unet/unet.py:15-61) — with a usable default ctor (reference
+    quirk 2.12.10 fixed: default_factory lists)."""
+
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: tuple = (320, 640, 1280, 1280)
+    attention_head_dim: Union[int, tuple] = (5, 10, 20, 20)
+    num_attention_heads: Optional[Union[int, tuple]] = None
+    cross_attention_dim: Union[int, tuple] = 1024
+    down_block_types: tuple = (
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "CrossAttnDownBlock2D",
+        "DownBlock2D",
+    )
+    layers_per_block: int = 2
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-5
+    t_embed_dim: int = 320
+    flip_sin_to_cos: bool = True
+    freq_shift: int = 0
+    sample_size: int = 96
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "UNetConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        kw = {k: (tuple(v) if isinstance(v, list) else v) for k, v in data.items() if k in known}
+        return cls(**kw)
+
+    @classmethod
+    def sd15(cls) -> "UNetConfig":
+        return cls(attention_head_dim=8, cross_attention_dim=768)
+
+    @classmethod
+    def sd21(cls) -> "UNetConfig":
+        return cls()
+
+    # -- derived, normalized views -------------------------------------
+    @property
+    def num_stages(self) -> int:
+        return len(self.block_out_channels)
+
+    @property
+    def heads_per_stage(self) -> tuple:
+        h = self.num_attention_heads if self.num_attention_heads is not None else self.attention_head_dim
+        return tuple([h] * self.num_stages) if isinstance(h, int) else tuple(h)
+
+    @property
+    def cross_dim_per_stage(self) -> tuple:
+        c = self.cross_attention_dim
+        return tuple([c] * self.num_stages) if isinstance(c, int) else tuple(c)
+
+    @property
+    def stage_has_attention(self) -> tuple:
+        return tuple(t == "CrossAttnDownBlock2D" for t in self.down_block_types)
+
+    @property
+    def time_embed_dim(self) -> int:
+        return self.t_embed_dim * 4
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+# ---------------------------------------------------------------------------
+
+
+def sinusoidal_time_embedding(timestep: jax.Array, dim: int) -> jax.Array:
+    """cos-then-sin sinusoid (reference unet.py:211-218). timestep: (B,)."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -jnp.log(jnp.float32(10000.0)) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    x = timestep.astype(jnp.float32)[:, None] * freqs[None, :]
+    return jnp.concatenate([jnp.cos(x), jnp.sin(x)], axis=-1)
+
+
+def time_embedding_apply(params, timestep: jax.Array, cfg: UNetConfig, dtype) -> jax.Array:
+    """(B,) int timesteps -> (B, 4*t_embed_dim) (reference unet.py:197-220)."""
+    t = sinusoidal_time_embedding(timestep, cfg.t_embed_dim).astype(dtype)
+    t = layers.linear(params["ffn"]["0"], t)
+    t = layers.silu(t)
+    return layers.linear(params["ffn"]["2"], t)
+
+
+def resblock_apply(params, x: jax.Array, t_embed: jax.Array, *, eps: float) -> jax.Array:
+    """GN-SiLU-conv + time-proj add + GN-SiLU-conv + shortcut
+    (reference unet.py:153-195).  x: NHWC; t_embed: (B or 1, 4*t_dim)."""
+    h = layers.group_norm(params["groupnorm_1"], x, eps=eps)
+    h = layers.silu(h)
+    h = layers.conv2d(params["conv_1"], h)
+
+    time = layers.silu(t_embed)
+    time = layers.linear(params["t_embed"], time)
+    h = h + time[:, None, None, :]
+
+    h = layers.group_norm(params["groupnorm_2"], h, eps=eps)
+    h = layers.silu(h)
+    h = layers.conv2d(params["conv_2"], h)
+
+    if "proj_input" in params:
+        x = layers.conv2d(params["proj_input"], x)
+    return h + x
+
+
+def attention_block_apply(params, x, cond, *, num_heads: int, impl: str) -> jax.Array:
+    """Pre-LN self-attn -> pre-LN cross-attn -> pre-LN GeGLU FFN, all residual
+    (reference unet.py:93-150).  x: (B, S, C); cond: (B, 77, cross_dim)."""
+    res = x
+    h = layers.layer_norm(params["layernorm_1"], x)
+    h = multihead_attention(params["attn1"], h, num_heads=num_heads, impl=impl)
+    x = h + res
+
+    res = x
+    h = layers.layer_norm(params["layernorm_2"], x)
+    h = multihead_attention(params["attn2"], h, num_heads=num_heads, cond=cond, impl=impl)
+    x = h + res
+
+    res = x
+    h = layers.layer_norm(params["layernorm_3"], x)
+    h = layers.geglu(params["ffn"]["0"], h)
+    h = layers.linear(params["ffn"]["1"], h)
+    return h + res
+
+
+def transformer_encoder_apply(params, x, cond, *, num_heads: int, impl: str) -> jax.Array:
+    """Spatial transformer: GN(eps 1e-6) -> 1x1 conv -> tokens -> attention
+    block -> 1x1 conv -> +residual (reference unet.py:62-91).  x: NHWC."""
+    b, h_, w_, c = x.shape
+    res = x
+    x = layers.group_norm(params["groupnorm"], x, eps=1e-6)
+    x = layers.conv2d(params["conv_input"], x)
+    x = x.reshape(b, h_ * w_, c)
+    x = attention_block_apply(params["transformer_block"], x, cond, num_heads=num_heads, impl=impl)
+    x = x.reshape(b, h_, w_, c)
+    x = layers.conv2d(params["conv_output"], x)
+    return x + res
+
+
+def _block_apply(params, x, t_embed, cond, *, num_heads, eps, impl):
+    """One SwitcSequential unit: ResBlock then optional TransformerEncoder."""
+    x = resblock_apply(params["0"], x, t_embed, eps=eps)
+    if "1" in params:
+        x = transformer_encoder_apply(params["1"], x, cond, num_heads=num_heads, impl=impl)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Full UNet
+# ---------------------------------------------------------------------------
+
+
+def unet_apply(
+    params,
+    x: jax.Array,
+    timestep: jax.Array,
+    cond: jax.Array,
+    cfg: UNetConfig,
+    *,
+    impl: str = "auto",
+) -> jax.Array:
+    """UNet forward (reference unet.py:431-443).
+
+    x: (B, H, W, in_channels) NHWC latents; timestep: (B,) or (1,);
+    cond: (B, 77, cross_dim) text embedding.  Returns epsilon/v prediction.
+    """
+    dtype = x.dtype
+    heads = cfg.heads_per_stage
+    has_attn = cfg.stage_has_attention
+    n = cfg.num_stages
+    eps = cfg.norm_eps
+
+    t_embed = time_embedding_apply(params["time_embedding"], timestep, cfg, dtype)
+
+    # ----- encoder (reference unet.py:284-295) -----
+    enc = params["encoder"]
+    h = layers.conv2d(enc["conv_in"], x)
+    skips = [h]
+    for i in range(n):
+        stage = enc["down"][str(i)]
+        for j in range(cfg.layers_per_block):
+            h = _block_apply(
+                stage["block"][str(j)], h, t_embed, cond,
+                num_heads=heads[i], eps=eps, impl=impl,
+            )
+            skips.append(h)
+        if i != n - 1:
+            h = layers.conv2d(stage["downsample"]["conv"], h, stride=2, padding=1)
+            skips.append(h)
+
+    # ----- bottleneck (reference unet.py:383-391) -----
+    mid = params["bottleneck"]
+    h = resblock_apply(mid["0"], h, t_embed, eps=eps)
+    h = transformer_encoder_apply(mid["1"], h, cond, num_heads=heads[-1], impl=impl)
+    h = resblock_apply(mid["2"], h, t_embed, eps=eps)
+
+    # ----- decoder (reference unet.py:337-351) -----
+    dec = params["decoder"]
+    for u, i in enumerate(reversed(range(n))):
+        stage = dec["up"][str(u)]
+        prev_hw = skips[-1].shape[2]
+        for j in range(cfg.layers_per_block + 1):
+            skip = skips.pop()
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = _block_apply(
+                stage["block"][str(j)], h, t_embed, cond,
+                num_heads=heads[i], eps=eps, impl=impl,
+            )
+        if i != 0:
+            # upsample unless the next skip is at the current resolution
+            # (static at trace time — shapes are concrete under jit)
+            if not (skips and skips[-1].shape[2] == prev_hw):
+                h = layers.upsample_nearest_2x(h)
+            h = layers.conv2d(stage["upsample"]["conv"], h)
+
+    # ----- output head (reference unet.py:398-401) -----
+    out = params["output"]
+    h = layers.group_norm(out["0"], h, eps=eps)
+    h = layers.silu(h)
+    return layers.conv2d(out["2"], h)
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _init_resblock(key, in_ch, out_ch, t_dim, dtype):
+    ks = jax.random.split(key, 4)
+    p = {
+        "groupnorm_1": layers.init_norm(in_ch, dtype),
+        "conv_1": layers.init_conv2d(ks[0], in_ch, out_ch, 3, dtype=dtype),
+        "t_embed": layers.init_linear(ks[1], t_dim, out_ch, dtype=dtype),
+        "groupnorm_2": layers.init_norm(out_ch, dtype),
+        "conv_2": layers.init_conv2d(ks[2], out_ch, out_ch, 3, dtype=dtype),
+    }
+    if in_ch != out_ch:
+        p["proj_input"] = layers.init_conv2d(ks[3], in_ch, out_ch, 1, dtype=dtype)
+    return p
+
+
+def _init_transformer(key, channels, cond_dim, dtype):
+    ks = jax.random.split(key, 6)
+    return {
+        "groupnorm": layers.init_norm(channels, dtype),
+        "conv_input": layers.init_conv2d(ks[0], channels, channels, 1, dtype=dtype),
+        "transformer_block": {
+            "layernorm_1": layers.init_norm(channels, dtype),
+            "attn1": init_multihead_attention(ks[1], channels, qkv_bias=False, dtype=dtype),
+            "layernorm_2": layers.init_norm(channels, dtype),
+            "attn2": init_multihead_attention(
+                ks[2], channels, cond_dim=cond_dim, qkv_bias=False, dtype=dtype
+            ),
+            "layernorm_3": layers.init_norm(channels, dtype),
+            "ffn": {
+                "0": {"proj": layers.init_linear(ks[3], channels, channels * 8, dtype=dtype)},
+                "1": layers.init_linear(ks[4], channels * 4, channels, dtype=dtype),
+            },
+        },
+        "conv_output": layers.init_conv2d(ks[5], channels, channels, 1, dtype=dtype),
+    }
+
+
+def init_unet(key, cfg: UNetConfig, dtype=jnp.float32):
+    """Random init with the reference topology (for tests / from-scratch)."""
+    bc = list(cfg.block_out_channels)
+    n = cfg.num_stages
+    heads = cfg.heads_per_stage
+    cross = cfg.cross_dim_per_stage
+    has_attn = cfg.stage_has_attention
+    t_dim = cfg.time_embed_dim
+    keys = iter(jax.random.split(key, 1024))
+
+    def block(in_ch, out_ch, stage):
+        p = {"0": _init_resblock(next(keys), in_ch, out_ch, t_dim, dtype)}
+        if has_attn[stage]:
+            p["1"] = _init_transformer(next(keys), out_ch, cross[stage], dtype)
+        return p
+
+    # encoder
+    block_in = [bc[0]] + bc
+    down = {}
+    for i in range(n):
+        stage = {"block": {}}
+        chans = [block_in[i]] + [bc[i]] * (cfg.layers_per_block - 1)
+        for j in range(cfg.layers_per_block):
+            stage["block"][str(j)] = block(chans[j] if j == 0 else bc[i], bc[i], i)
+        if i != n - 1:
+            stage["downsample"] = {"conv": layers.init_conv2d(next(keys), bc[i], bc[i], 3, dtype=dtype)}
+        down[str(i)] = stage
+    encoder = {
+        "conv_in": layers.init_conv2d(next(keys), cfg.in_channels, bc[0], 3, dtype=dtype),
+        "down": down,
+    }
+
+    # bottleneck
+    mid_ch = bc[-1]
+    bottleneck = {
+        "0": _init_resblock(next(keys), mid_ch, mid_ch, t_dim, dtype),
+        "1": _init_transformer(next(keys), mid_ch, cross[-1], dtype),
+        "2": _init_resblock(next(keys), mid_ch, mid_ch, t_dim, dtype),
+    }
+
+    # decoder (reference unet.py:297-335 channel bookkeeping)
+    dec_in = bc + [bc[-1]]
+    up = {}
+    for u, i in enumerate(reversed(range(n))):
+        in_ch = dec_in[i + 1]
+        out_ch = bc[i]
+        mid_in = dec_in[i - 1] if i > 0 else bc[0]
+        stage = {"block": {}}
+        ins = [in_ch + out_ch, out_ch + out_ch, out_ch + mid_in]
+        for j in range(cfg.layers_per_block + 1):
+            stage["block"][str(j)] = block(ins[j], out_ch, i)
+        if i != 0:
+            stage["upsample"] = {"conv": layers.init_conv2d(next(keys), out_ch, out_ch, 3, dtype=dtype)}
+        up[str(u)] = stage
+    decoder = {"up": up}
+
+    return {
+        "time_embedding": {
+            "ffn": {
+                "0": layers.init_linear(next(keys), cfg.t_embed_dim, t_dim, dtype=dtype),
+                "2": layers.init_linear(next(keys), t_dim, t_dim, dtype=dtype),
+            }
+        },
+        "encoder": encoder,
+        "bottleneck": bottleneck,
+        "decoder": decoder,
+        "output": {
+            "0": layers.init_norm(bc[0], dtype),
+            "2": layers.init_conv2d(next(keys), bc[0], cfg.out_channels, 3, dtype=dtype),
+        },
+    }

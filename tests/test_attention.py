@@ -1,0 +1,69 @@
+"""Parity of functional MHA vs reference MultiheadSelfAttention
+(models/unet/attention.py:12-100)."""
+
+import numpy as np
+import jax.numpy as jnp
+import torch
+
+from stable_diffusion_tpu.models.attention import multihead_attention
+from stable_diffusion_tpu.utils.torch_interop import from_torch_state_dict
+from tests import ref
+
+
+def make_ref_attn(num_heads, embed_dim, cond_dim=None, qkv_bias=True):
+    attn_mod = ref.load("models.unet.attention")
+    torch.manual_seed(0)
+    return attn_mod.MultiheadSelfAttention(
+        num_heads=num_heads, embedding_dim=embed_dim, cond_dim=cond_dim, qkv_bias=qkv_bias
+    )
+
+
+def test_self_attention(rng):
+    m = make_ref_attn(4, 32)
+    x = rng.standard_normal((2, 10, 32), dtype=np.float32)
+    want = m(torch.from_numpy(x)).detach().numpy()
+    p = from_torch_state_dict(m.state_dict())
+    got = np.asarray(multihead_attention(p, jnp.asarray(x), num_heads=4, impl="xla"))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_causal_self_attention(rng):
+    m = make_ref_attn(4, 32)
+    x = rng.standard_normal((2, 9, 32), dtype=np.float32)
+    want = m(torch.from_numpy(x), lookahead_mask=True).detach().numpy()
+    p = from_torch_state_dict(m.state_dict())
+    got = np.asarray(
+        multihead_attention(p, jnp.asarray(x), num_heads=4, causal=True, impl="xla")
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_cross_attention(rng):
+    m = make_ref_attn(2, 16, cond_dim=24, qkv_bias=False)
+    x = rng.standard_normal((2, 12, 16), dtype=np.float32)
+    cond = rng.standard_normal((2, 7, 24), dtype=np.float32)
+    want = m(torch.from_numpy(x), cond=torch.from_numpy(cond)).detach().numpy()
+    p = from_torch_state_dict(m.state_dict())
+    got = np.asarray(
+        multihead_attention(p, jnp.asarray(x), num_heads=2, cond=jnp.asarray(cond), impl="xla")
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_flash_kernel_interpret_matches_xla(rng):
+    """Pallas flash attention in interpreter mode vs the XLA path."""
+    import jax
+    from stable_diffusion_tpu.ops import flash_attention as fa
+    from stable_diffusion_tpu.ops.attention import _xla_sdpa
+
+    q = jnp.asarray(rng.standard_normal((2, 256, 2, 64), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 256, 2, 64), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 256, 2, 64), dtype=np.float32))
+    assert fa.supported(q, k)
+    import jax.experimental.pallas as pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu
+
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(fa.flash_attention(q, k, v))
+    want = np.asarray(_xla_sdpa(q, k, v))
+    np.testing.assert_allclose(got, want, atol=2e-5)
