@@ -172,12 +172,22 @@ def transformer_encoder_apply(params, x, cond, *, num_heads: int, impl: str) -> 
     return x + res
 
 
-def _block_apply(params, x, t_embed, cond, *, num_heads, eps, impl):
-    """One SwitcSequential unit: ResBlock then optional TransformerEncoder."""
-    x = resblock_apply(params["0"], x, t_embed, eps=eps)
-    if "1" in params:
-        x = transformer_encoder_apply(params["1"], x, cond, num_heads=num_heads, impl=impl)
-    return x
+def _block_apply(params, x, t_embed, cond, *, num_heads, eps, impl, remat=False):
+    """One SwitcSequential unit: ResBlock then optional TransformerEncoder.
+
+    ``remat=True`` rematerializes the whole unit in the backward pass — the
+    TPU analog of the reference's per-attention torch.utils.checkpoint
+    (unet.py:130-141), trading FLOPs for HBM.
+    """
+    def run(params, x, t_embed, cond):
+        x = resblock_apply(params["0"], x, t_embed, eps=eps)
+        if "1" in params:
+            x = transformer_encoder_apply(params["1"], x, cond, num_heads=num_heads, impl=impl)
+        return x
+
+    if remat:
+        return jax.checkpoint(run)(params, x, t_embed, cond)
+    return run(params, x, t_embed, cond)
 
 
 # ---------------------------------------------------------------------------
@@ -193,6 +203,7 @@ def unet_apply(
     cfg: UNetConfig,
     *,
     impl: str = "auto",
+    remat: bool = False,
 ) -> jax.Array:
     """UNet forward (reference unet.py:431-443).
 
@@ -216,7 +227,7 @@ def unet_apply(
         for j in range(cfg.layers_per_block):
             h = _block_apply(
                 stage["block"][str(j)], h, t_embed, cond,
-                num_heads=heads[i], eps=eps, impl=impl,
+                num_heads=heads[i], eps=eps, impl=impl, remat=remat,
             )
             skips.append(h)
         if i != n - 1:
@@ -239,7 +250,7 @@ def unet_apply(
             h = jnp.concatenate([h, skip], axis=-1)
             h = _block_apply(
                 stage["block"][str(j)], h, t_embed, cond,
-                num_heads=heads[i], eps=eps, impl=impl,
+                num_heads=heads[i], eps=eps, impl=impl, remat=remat,
             )
         if i != 0:
             # upsample unless the next skip is at the current resolution

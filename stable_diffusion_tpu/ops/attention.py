@@ -74,7 +74,8 @@ def sdpa(
         return _xla_sdpa(q, k, v, causal=causal, scale=scale)
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    if impl == "flash" or (impl == "auto" and on_tpu and _flash_supported(q, k)):
+    use_flash = (impl == "flash" or (impl == "auto" and on_tpu)) and not causal
+    if use_flash and _flash_supported(q, k):
         from stable_diffusion_tpu.ops import flash_attention as fa
 
         return fa.flash_attention(q, k, v, causal=causal, scale=scale)

@@ -35,6 +35,15 @@ def _pick_blocks(seq: int, head_dim: int):
     return min(bq, seq), min(bk, seq)
 
 
+def _padded_dim(d: int) -> int:
+    """Head dims are zero-padded up to a lane-friendly size (SD 1.5 uses
+    40/80/160; zero dims contribute nothing to logits or outputs)."""
+    for t in (64, 128, 256, 512):
+        if d <= t:
+            return t
+    return 0
+
+
 def supported(q: jax.Array, k: jax.Array) -> bool:
     """True when the Pallas kernel covers this shape (non-causal self-attn)."""
     if q.ndim != 4 or k.ndim != 4:
@@ -43,9 +52,10 @@ def supported(q: jax.Array, k: jax.Array) -> bool:
     sk = k.shape[1]
     if sq != sk:
         return False  # cross-attn with 77-token text keys -> XLA path
-    if d not in (64, 128, 256, 512):
+    dp = _padded_dim(d)
+    if dp == 0:
         return False
-    bq, bk = _pick_blocks(sq, d)
+    bq, bk = _pick_blocks(sq, dp)
     return sq % bq == 0 and sk % bk == 0 and sq >= 128
 
 
@@ -118,10 +128,16 @@ def _flash_bhsd(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float) -> ja
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q, k, v, scale):
     b, s, h, d = q.shape
+    dp = _padded_dim(d)
     qt = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
     kt = k.transpose(0, 2, 1, 3).reshape(b * h, s, d)
     vt = v.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    if dp != d:
+        pad = [(0, 0), (0, 0), (0, dp - d)]
+        qt, kt, vt = (jnp.pad(x, pad) for x in (qt, kt, vt))
     o = _flash_bhsd(qt, kt, vt, scale=scale)
+    if dp != d:
+        o = o[..., :d]
     return o.reshape(b, h, s, d).transpose(0, 2, 1, 3)
 
 

@@ -1,0 +1,523 @@
+"""StableDiffusion orchestration pipeline (txt2img / img2img / inpaint /
+one-step / training loss).
+
+TPU re-design of the reference pipeline (models/diffusion.py:24-443).  Key
+architectural differences from the reference, per SURVEY section 7:
+
+  * Weights are resident on device (sharded over the mesh when given) — the
+    reference's per-stage CPU<->accelerator ``.to()`` swapping
+    (diffusion.py:190-242) is replaced wholesale.
+  * The whole denoise loop is ONE jitted ``lax.scan``: timestep/prev-timestep
+    sequences are static-length arrays, schedule values are table gathers,
+    and CFG's (uncond, cond) pair is batched into a single UNet call exactly
+    like the reference's repeat(2) batching (diffusion.py:227-235).
+  * PRNG is explicit ``jax.random`` keys (replaces torch.Generator seeding,
+    diffusion.py:178-182).  Parity tests inject fixed noise arrays.
+  * One compile per (batch, H, W, steps, do_cfg, sampler) combination;
+    cfg_scale and the timestep values are traced, so sweeping guidance or
+    strength does NOT recompile.
+
+Numerical contract (matching the reference main stack):
+  * generate(): context = [uncond, cond]; eps = uncond + s * (cond - uncond)
+    (diffusion.py:227-235).
+  * inpaint(): context = [cond, uncond]; eps = cond + s * (cond - uncond);
+    per-step re-noise of the original latent uses the *predicted* noise
+    (diffusion.py:367-398 — semantics of the working demo copy,
+    demo/models/diffusion.py:201-358, with the scale_img NameError of
+    SURVEY 2.12.2 fixed).
+  * one-step (SwiftBrush): single UNet eval at t=999 with alpha_T^2 = 0.0047
+    (diffusion.py:57-129, constants at :111).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stable_diffusion_tpu import schedulers as S
+from stable_diffusion_tpu.models import clip as clip_m
+from stable_diffusion_tpu.models import unet as unet_m
+from stable_diffusion_tpu.models import vae as vae_m
+
+MAX_TEXT_LEN = 77
+
+
+def scale_img(x, old_range, new_range, clamp: bool = False):
+    """Linear range rescale (reference utils/datasets.py:15-23)."""
+    old_min, old_max = old_range
+    new_min, new_max = new_range
+    x = (x - old_min) * (new_max - new_min) / (old_max - old_min) + new_min
+    if clamp:
+        x = jnp.clip(x, new_min, new_max) if isinstance(x, jnp.ndarray) else np.clip(x, new_min, new_max)
+    return x
+
+
+def preprocess_image(img, img_size: Tuple[int, int]) -> np.ndarray:
+    """PIL/array -> NHWC float32 in [-1, 1] (the intended behavior of
+    reference _preprocess_image, diffusion.py:46-55 — whose trailing permute
+    is a latent layout bug; we produce the layout the VAE expects)."""
+    from PIL import Image
+
+    if isinstance(img, np.ndarray):
+        img = Image.fromarray(img.astype(np.uint8))
+    img = img.convert("RGB").resize((img_size[1], img_size[0]), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    arr = (arr - 0.5) / 0.5
+    return arr[None]  # (1, H, W, 3)
+
+
+def preprocess_mask(mask, img_size: Tuple[int, int]) -> np.ndarray:
+    """PIL mask -> bool (1, H/8, W/8, 1): True = regenerate (masked) region
+    (reference diffusion.py:352-358: bicubic 1/8 downsample, (0,255)->(0,1),
+    cast to bool)."""
+    from PIL import Image
+
+    if isinstance(mask, np.ndarray):
+        mask = Image.fromarray(mask.astype(np.uint8))
+    mask = mask.convert("L").resize((img_size[1], img_size[0]))
+    arr = np.asarray(mask, dtype=np.float32)[None, :, :, None]
+    small = jax.image.resize(
+        jnp.asarray(arr), (1, img_size[0] // 8, img_size[1] // 8, 1), method="bicubic"
+    )
+    small = scale_img(small, (0.0, 255.0), (0.0, 1.0))
+    return np.asarray(small).astype(bool)
+
+
+@dataclasses.dataclass
+class StableDiffusion:
+    """Bundle of params + configs + jitted programs.
+
+    params: {"unet": ..., "text_encoder": ..., "vae": ...} pytrees.
+    """
+
+    params: Dict[str, Any]
+    unet_config: unet_m.UNetConfig
+    text_config: clip_m.CLIPTextConfig
+    vae_config: vae_m.VAEConfig = dataclasses.field(default_factory=vae_m.VAEConfig)
+    scheduler_config: Optional[dict] = None  # from scheduler_config.json
+    tokenizer: Any = None
+    dtype: Any = jnp.float32
+    impl: str = "auto"  # attention kernel selection
+    sd_version: str = "2.1"
+
+    # ------------------------------------------------------------------
+    # Construction
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        pretrained_dir: str,
+        *,
+        sd_version: str = "1.5",
+        dtype=jnp.float32,
+        tokenizer=None,
+        impl: str = "auto",
+    ) -> "StableDiffusion":
+        """Load a stock diffusers-layout model directory (vae/, text_encoder/,
+        unet/, scheduler/) — reference diffusion.py:38-44."""
+        import json
+
+        from stable_diffusion_tpu.utils import model_converter as mc
+
+        with open(os.path.join(pretrained_dir, "unet", "config.json")) as f:
+            ucfg = unet_m.UNetConfig.from_dict(json.load(f))
+        with open(os.path.join(pretrained_dir, "text_encoder", "config.json")) as f:
+            tcfg = clip_m.CLIPTextConfig.from_dict(json.load(f))
+        with open(os.path.join(pretrained_dir, "vae", "config.json")) as f:
+            vcfg = vae_m.VAEConfig.from_dict(json.load(f))
+        sched_path = os.path.join(pretrained_dir, "scheduler", "scheduler_config.json")
+        sched_cfg = None
+        if os.path.exists(sched_path):
+            with open(sched_path) as f:
+                sched_cfg = json.load(f)
+
+        params = {
+            "unet": mc.load_unet_diffusers(
+                os.path.join(pretrained_dir, "unet", "diffusion_pytorch_model.safetensors"),
+                sd_version=sd_version,
+                dtype=dtype,
+            ),
+            "text_encoder": mc.load_text_encoder_diffusers(
+                os.path.join(pretrained_dir, "text_encoder", "model.safetensors"), dtype=dtype
+            ),
+            "vae": mc.load_vae_diffusers(
+                os.path.join(pretrained_dir, "vae", "diffusion_pytorch_model.safetensors"),
+                dtype=dtype,
+            ),
+        }
+        return cls(
+            params=params,
+            unet_config=ucfg,
+            text_config=tcfg,
+            vae_config=vcfg,
+            scheduler_config=sched_cfg,
+            tokenizer=tokenizer,
+            dtype=dtype,
+            impl=impl,
+            sd_version=sd_version,
+        )
+
+    # ------------------------------------------------------------------
+    # Schedules
+    # ------------------------------------------------------------------
+
+    def make_schedule(self, use_cosine_schedule: bool = False) -> S.DiffusionSchedule:
+        cfg = self.scheduler_config or {}
+        return S.make_schedule(
+            num_train_timesteps=cfg.get("num_train_timesteps", 1000),
+            beta_start=cfg.get("beta_start", 0.00085),
+            beta_end=cfg.get("beta_end", 0.012),
+            use_cosine_schedule=use_cosine_schedule,
+            prediction_type=cfg.get("prediction_type", "epsilon"),
+        )
+
+    # ------------------------------------------------------------------
+    # Text conditioning
+    # ------------------------------------------------------------------
+
+    def tokenize(self, prompts: Sequence[str]) -> np.ndarray:
+        assert self.tokenizer is not None, "pass tokenizer= or pre-tokenized ids"
+        enc = self.tokenizer.batch_encode_plus(
+            list(prompts), padding="max_length", max_length=MAX_TEXT_LEN, truncation=True
+        )
+        return np.asarray(enc.input_ids, dtype=np.int32)
+
+    def encode_text(self, input_ids) -> jax.Array:
+        return _encode_text_jit(
+            self.params["text_encoder"], jnp.asarray(input_ids), self.text_config,
+            self.dtype, self.impl,
+        )
+
+    # ------------------------------------------------------------------
+    # Generation
+    # ------------------------------------------------------------------
+
+    def generate(
+        self,
+        prompt: str,
+        *,
+        uncond_prompt: str = "",
+        input_image=None,
+        img_size: Tuple[int, int] = (512, 512),
+        do_cfg: bool = True,
+        cfg_scale: float = 7.5,
+        strength: float = 0.8,
+        inference_steps: int = 50,
+        sampler: str = "ddim",
+        use_cosine_schedule: bool = False,
+        eta: float = 0.0,
+        seed: int = 0,
+        batch_size: int = 1,
+        cond_ids=None,
+        uncond_ids=None,
+        input_latents=None,
+        initial_latents=None,
+        return_latents: bool = False,
+    ) -> np.ndarray:
+        """txt2img / img2img (reference diffusion.py:131-257).
+
+        Returns images in [0, 1], NHWC float32.  ``cond_ids``/``uncond_ids``
+        bypass the tokenizer (for tests); ``input_latents`` bypasses the VAE
+        encoder for img2img; ``initial_latents`` injects the txt2img starting
+        noise (parity tests — replaces matching torch RNG streams).
+        """
+        schedule = self.make_schedule(use_cosine_schedule)
+        h, w = img_size
+        lat_shape = (batch_size, h // 8, w // 8, 4)
+        key = jax.random.key(seed)
+        key_img, key_lat, key_steps = jax.random.split(key, 3)
+
+        # --- text conditioning (reference diffusion.py:190-200) ---
+        if cond_ids is None:
+            cond_ids = np.repeat(self.tokenize([prompt]), batch_size, axis=0)
+        if do_cfg and uncond_ids is None:
+            uncond_ids = np.repeat(self.tokenize([uncond_prompt]), batch_size, axis=0)
+        if do_cfg:
+            cond_emb = self.encode_text(cond_ids)
+            uncond_emb = self.encode_text(uncond_ids)
+            context = jnp.concatenate([uncond_emb, cond_emb], axis=0)
+        else:
+            context = self.encode_text(cond_ids)
+
+        # --- timestep sequence (static per (steps, strength)) ---
+        ts = S.inference_timesteps(schedule, inference_steps, kind=sampler)
+        is_img2img = input_image is not None or input_latents is not None
+        if is_img2img:
+            ts = S.apply_strength(ts, strength)
+        prev_ts = ts - schedule.num_train_timesteps // inference_steps
+        table = jnp.asarray(schedule.alphas_hat)
+
+        # --- initial latents (reference diffusion.py:202-216) ---
+        if is_img2img:
+            if input_latents is None:
+                img = jnp.asarray(preprocess_image(input_image, img_size), self.dtype)
+                enc_noise = jax.random.normal(key_img, (1, *lat_shape[1:]), self.dtype)
+                input_latents, _, _ = _encode_image_jit(
+                    self.params["vae"], img, self.vae_config, enc_noise, self.impl
+                )
+            lat_noise = jax.random.normal(key_lat, lat_shape, self.dtype)
+            latents = S.forward_process(
+                table, jnp.asarray(input_latents, self.dtype), jnp.asarray(ts[0]), lat_noise
+            )
+        elif initial_latents is not None:
+            latents = jnp.asarray(initial_latents, self.dtype)
+        else:
+            latents = jax.random.normal(key_lat, lat_shape, self.dtype)
+
+        # --- jitted scan denoise + decode ---
+        latents = _denoise_jit(
+            self.params["unet"],
+            latents,
+            context.astype(self.dtype),
+            jnp.asarray(ts),
+            jnp.asarray(prev_ts),
+            table,
+            jnp.asarray(cfg_scale, jnp.float32),
+            key_steps,
+            self.unet_config,
+            do_cfg,
+            sampler,
+            schedule.prediction_type,
+            float(eta),
+            self.impl,
+        )
+        if return_latents:
+            return np.asarray(latents)
+        imgs = _decode_jit(self.params["vae"], latents, self.vae_config, self.impl)
+        return np.asarray((imgs.astype(jnp.float32) + 1.0) / 2.0)
+
+    def generate_in_one_step(
+        self,
+        prompt: str,
+        *,
+        img_size: Tuple[int, int] = (512, 512),
+        seed: int = 0,
+        batch_size: int = 1,
+        cond_ids=None,
+    ) -> np.ndarray:
+        """SwiftBrush one-step generation (reference diffusion.py:57-129)."""
+        h, w = img_size
+        lat_shape = (batch_size, h // 8, w // 8, 4)
+        key = jax.random.key(seed)
+        if cond_ids is None:
+            cond_ids = self.tokenize([prompt])
+        context = self.encode_text(cond_ids)
+        if context.shape[0] == 1 and batch_size > 1:
+            context = jnp.repeat(context, batch_size, axis=0)
+        latents = jax.random.normal(key, lat_shape, self.dtype)
+        imgs = _one_step_jit(
+            self.params["unet"], self.params["vae"], latents, context.astype(self.dtype),
+            self.unet_config, self.vae_config, self.impl,
+        )
+        return np.asarray((imgs.astype(jnp.float32) + 1.0) / 2.0)
+
+    def inpaint(
+        self,
+        prompt: str,
+        input_image,
+        mask,
+        *,
+        uncond_prompt: str = "",
+        img_size: Tuple[int, int] = (512, 512),
+        do_cfg: bool = True,
+        cfg_scale: float = 7.5,
+        strength: float = 0.8,
+        inference_steps: int = 50,
+        sampler: str = "ddpm",
+        use_cosine_schedule: bool = False,
+        seed: int = 0,
+        cond_ids=None,
+        uncond_ids=None,
+    ) -> np.ndarray:
+        """Mask-blended inpainting (reference diffusion.py:260-417 /
+        demo/models/diffusion.py:201-358).  Returns (H, W, 3) uint8."""
+        schedule = self.make_schedule(use_cosine_schedule)
+        h, w = img_size
+        lat_shape = (1, h // 8, w // 8, 4)
+        key = jax.random.key(seed)
+        k_enc, k_lat, k_mask, k_steps = jax.random.split(key, 4)
+
+        # context = [cond, uncond] — note the order differs from generate()
+        # (reference diffusion.py:337-343)
+        if cond_ids is None:
+            cond_ids = self.tokenize([prompt])
+        if do_cfg and uncond_ids is None:
+            uncond_ids = self.tokenize([uncond_prompt])
+        if do_cfg:
+            ids = np.concatenate([cond_ids, uncond_ids], axis=0)
+            context = self.encode_text(ids)
+        else:
+            context = self.encode_text(cond_ids)
+
+        img = jnp.asarray(preprocess_image(input_image, img_size), self.dtype)
+        mask_small = jnp.asarray(preprocess_mask(mask, img_size))  # (1,h/8,w/8,1) bool
+
+        enc_noise = jax.random.normal(k_enc, lat_shape, self.dtype)
+        encoded_img, _, _ = _encode_image_jit(
+            self.params["vae"], img, self.vae_config, enc_noise, self.impl
+        )
+
+        ts = S.apply_strength(
+            S.inference_timesteps(schedule, inference_steps, kind=sampler), strength
+        )
+        prev_ts = ts - schedule.num_train_timesteps // inference_steps
+        table = jnp.asarray(schedule.alphas_hat)
+
+        lat_noise = jax.random.normal(k_lat, lat_shape, self.dtype)
+        latents = S.forward_process(table, encoded_img, jnp.asarray(ts[0]), lat_noise)
+        noise_features = jax.random.normal(k_mask, lat_shape, self.dtype)
+        latents = jnp.where(mask_small, noise_features, latents)
+
+        latents = _inpaint_denoise_jit(
+            self.params["unet"],
+            latents,
+            encoded_img,
+            mask_small,
+            context.astype(self.dtype),
+            jnp.asarray(ts),
+            jnp.asarray(prev_ts),
+            table,
+            jnp.asarray(cfg_scale, jnp.float32),
+            k_steps,
+            self.unet_config,
+            do_cfg,
+            sampler,
+            schedule.prediction_type,
+            self.impl,
+        )
+        imgs = _decode_jit(self.params["vae"], latents, self.vae_config, self.impl)
+        out = scale_img(np.asarray(imgs.astype(jnp.float32)), (-1.0, 1.0), (0.0, 255.0), clamp=True)
+        return out[0].astype(np.uint8)
+
+    # ------------------------------------------------------------------
+    # Training loss (reference diffusion.py:419-443)
+    # ------------------------------------------------------------------
+
+    def training_loss(self, unet_params, images, input_ids, t, noise, *, key=None):
+        """Frozen CLIP+VAE encode, forward-process, UNet prediction, MSE.
+
+        ``t``/``noise`` are supplied by the caller (sampled from its PRNG)
+        so the loss is a pure function of (unet_params, batch)."""
+        schedule = self.make_schedule()
+        table = jnp.asarray(schedule.alphas_hat)
+        text_emb = jax.lax.stop_gradient(self.encode_text(input_ids))
+        latents, _, _ = vae_m.encode(
+            self.params["vae"], images, self.vae_config,
+            noise=jnp.zeros((*images.shape[:1], images.shape[1] // 8, images.shape[2] // 8, 4), images.dtype),
+            impl=self.impl,
+        )
+        latents = jax.lax.stop_gradient(latents)
+        x_t = S.forward_process(table, latents, t, noise)
+        pred = unet_m.unet_apply(
+            unet_params, x_t, t, text_emb, self.unet_config, impl=self.impl
+        )
+        if schedule.prediction_type == "v_prediction":
+            target = S.v_prediction_targets(table, latents, noise, t)
+        else:
+            target = noise
+        return jnp.mean((pred - target) ** 2)
+
+
+# ---------------------------------------------------------------------------
+# Jitted programs (module-level so the XLA cache is shared across pipelines)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _encode_text_jit(params, ids, cfg, dtype, impl):
+    return clip_m.text_model_apply(params, ids, cfg, impl=impl, dtype=dtype)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 4))
+def _encode_image_jit(params, img, cfg, noise, impl):
+    return vae_m.encode(params, img, cfg, noise=noise, impl=impl)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def _decode_jit(params, latents, cfg, impl):
+    return vae_m.decode(params, latents, cfg, impl=impl)
+
+
+def _cfg_combine(pred, cfg_scale, order: str):
+    """order "uncond_first": eps = uncond + s*(cond - uncond) (generate);
+    order "cond_first":   eps = cond + s*(cond - uncond) (inpaint)."""
+    a, b = jnp.split(pred, 2, axis=0)
+    if order == "uncond_first":
+        uncond, cond = a, b
+        return uncond + cfg_scale.astype(pred.dtype) * (cond - uncond)
+    cond, uncond = a, b
+    return cond + cfg_scale.astype(pred.dtype) * (cond - uncond)
+
+
+def _sampler_step(table, lat, t, pt, eps_hat, key, sampler, prediction_type, eta):
+    if sampler == "ddpm":
+        noise = jax.random.normal(key, lat.shape, lat.dtype)
+        return S.ddpm_step(table, lat, t, pt, eps_hat, noise)
+    noise = jax.random.normal(key, lat.shape, lat.dtype) if eta > 0 else None
+    return S.ddim_step(
+        table, lat, t, pt, eps_hat, prediction_type=prediction_type, eta=eta, noise=noise
+    )
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13))
+def _denoise_jit(
+    unet_params, latents, context, ts, prev_ts, table, cfg_scale, key,
+    ucfg, do_cfg, sampler, prediction_type, eta, impl,
+):
+    """The hot loop (reference diffusion.py:223-236) as one lax.scan."""
+
+    def step(carry, xs):
+        lat, key = carry
+        t, pt = xs
+        key, sub = jax.random.split(key)
+        model_in = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
+        pred = unet_m.unet_apply(unet_params, model_in, t[None], context, ucfg, impl=impl)
+        eps_hat = _cfg_combine(pred, cfg_scale, "uncond_first") if do_cfg else pred
+        lat = _sampler_step(table, lat, t, pt, eps_hat, sub, sampler, prediction_type, eta)
+        return (lat, key), None
+
+    (latents, _), _ = jax.lax.scan(step, (latents, key), (ts, prev_ts))
+    return latents
+
+
+@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13, 14))
+def _inpaint_denoise_jit(
+    unet_params, latents, encoded_img, mask, context, ts, prev_ts, table,
+    cfg_scale, key, ucfg, do_cfg, sampler, prediction_type, impl,
+):
+    """Mask-blended scan (reference diffusion.py:367-398): outside the mask,
+    replace with the original re-noised by the *predicted* noise each step."""
+
+    def step(carry, xs):
+        lat, key = carry
+        t, pt = xs
+        key, sub = jax.random.split(key)
+        model_in = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
+        pred = unet_m.unet_apply(unet_params, model_in, t[None], context, ucfg, impl=impl)
+        eps_hat = _cfg_combine(pred, cfg_scale, "cond_first") if do_cfg else pred
+        noised_orig = S.forward_process(table, encoded_img, t, eps_hat)
+        lat = jnp.where(mask, lat, noised_orig)
+        lat = _sampler_step(table, lat, t, pt, eps_hat, sub, sampler, prediction_type, 0.0)
+        return (lat, key), None
+
+    (latents, _), _ = jax.lax.scan(step, (latents, key), (ts, prev_ts))
+    return latents
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def _one_step_jit(unet_params, vae_params, latents, context, ucfg, vcfg, impl):
+    """SwiftBrush: x0 = (z - sigma_T * eps_hat) / alpha_T with
+    alpha_T^2 = 0.0047 (reference diffusion.py:111-113)."""
+    alpha_t = jnp.sqrt(jnp.float32(0.0047)).astype(latents.dtype)
+    sigma_t = jnp.sqrt(jnp.float32(1.0 - 0.0047)).astype(latents.dtype)
+    t = jnp.full((1,), 999, jnp.int32)
+    eps = unet_m.unet_apply(unet_params, latents, t, context, ucfg, impl=impl)
+    x0 = (latents - sigma_t * eps) / alpha_t
+    return vae_m.decode(vae_params, x0, vcfg, impl=impl)

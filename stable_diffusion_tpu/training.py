@@ -1,0 +1,192 @@
+"""LoRA / DreamBooth training: loss, train step, state.
+
+Re-design of the reference training loop (train_lora_dreambooth.py:23-293)
+as pure jitted functions over a train-state pytree:
+
+  * DreamBooth loss: the batch stacks [instance; class-prior] halves
+    (reference utils/datasets.py:120-133 collate); loss = MSE(instance) +
+    prior_loss_weight * MSE(prior) via the same chunk(2) split
+    (train_lora_dreambooth.py:95-107).
+  * LoRA training: base weights frozen; gradients flow only to the LoRA
+    pytree, which is merged into the kernels inside the loss (functional
+    analog of the reference's weight parametrization, models/lora.py).
+  * Gradient accumulation via optax.MultiSteps
+    (reference train_lora_dreambooth.py:113-120).
+  * Gradient checkpointing via unet_apply(remat=True)
+    (reference models/unet/unet.py:404-415).
+  * EMA with warmup (fixed semantics of the broken reference models/ema.py).
+  * Data parallelism: shard the batch on the mesh "data" axis; GSPMD derives
+    the gradient all-reduce.  TP shards the transformer linears per
+    parallel/mesh.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from stable_diffusion_tpu import schedulers as S
+from stable_diffusion_tpu.models import clip as clip_m
+from stable_diffusion_tpu.models import ema as ema_m
+from stable_diffusion_tpu.models import lora as lora_m
+from stable_diffusion_tpu.models import unet as unet_m
+from stable_diffusion_tpu.models import vae as vae_m
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    learning_rate: float = 1e-4
+    weight_decay: float = 1e-2
+    rank: int = 128
+    alpha: float = 128.0
+    prior_loss_weight: float = 1.0  # reference train_lora_dreambooth.py:102-107
+    grad_accum_steps: int = 1
+    use_ema: bool = False
+    ema_beta: float = 0.995
+    ema_start: int = 2000
+    max_grad_norm: Optional[float] = 1.0
+    gradient_checkpointing: bool = False
+    train_text_encoder: bool = False
+    lora_targets: tuple = lora_m.DEFAULT_UNET_TARGETS
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    if cfg.max_grad_norm:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.grad_accum_steps)
+    return tx
+
+
+def init_train_state(key, base_params: Dict[str, Any], cfg: TrainConfig):
+    """state = {"lora": {unet[, text_encoder]}, "opt_state", "ema", "step"}."""
+    k1, k2 = jax.random.split(key)
+    lora = {
+        "unet": lora_m.init_lora(
+            k1, base_params["unet"], rank=cfg.rank, alpha=cfg.alpha, targets=cfg.lora_targets
+        )
+    }
+    if cfg.train_text_encoder:
+        lora["text_encoder"] = lora_m.init_lora(
+            k2, base_params["text_encoder"], rank=cfg.rank, alpha=cfg.alpha,
+            targets=("q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"),
+        )
+    tx = make_optimizer(cfg)
+    return {
+        "lora": lora,
+        "opt_state": tx.init(lora),
+        "ema": lora if not cfg.use_ema else ema_m.ema_init(lora),
+        "step": jnp.zeros((), jnp.int32),
+    }
+
+
+def dreambooth_loss(
+    lora,
+    base_params,
+    batch,
+    *,
+    ucfg: unet_m.UNetConfig,
+    tcfg: clip_m.CLIPTextConfig,
+    vcfg: vae_m.VAEConfig,
+    alphas_hat,
+    train_cfg: TrainConfig,
+    prediction_type: str = "epsilon",
+    impl: str = "auto",
+):
+    """batch: {"images": (2B,H,W,3) [instance;prior], "input_ids": (2B,77),
+    "t": (2B,), "noise": (2B,h,w,4), "vae_noise": (2B,h,w,4)}.
+
+    Mirrors reference train_step (train_lora_dreambooth.py:54-108): frozen
+    VAE/text encode, q-sample, UNet prediction, instance + prior MSE.
+    """
+    unet_params = lora_m.merge_lora(base_params["unet"], lora["unet"])
+    if "text_encoder" in lora:
+        text_params = lora_m.merge_lora(base_params["text_encoder"], lora["text_encoder"])
+        text_emb = clip_m.text_model_apply(text_params, batch["input_ids"], tcfg, impl=impl)
+    else:
+        text_emb = jax.lax.stop_gradient(
+            clip_m.text_model_apply(base_params["text_encoder"], batch["input_ids"], tcfg, impl=impl)
+        )
+
+    latents, _, _ = vae_m.encode(
+        base_params["vae"], batch["images"], vcfg, noise=batch["vae_noise"], impl=impl
+    )
+    # the reference encodes with explicit noise (unscaled latents) in its
+    # training path (train_lora_dreambooth.py:76-88 -> vae.py:261-263)
+    latents = jax.lax.stop_gradient(latents)
+
+    x_t = S.forward_process(alphas_hat, latents, batch["t"], batch["noise"])
+    pred = unet_m.unet_apply(
+        unet_params, x_t, batch["t"], text_emb, ucfg,
+        impl=impl, remat=train_cfg.gradient_checkpointing,
+    )
+    if prediction_type == "v_prediction":
+        target = S.v_prediction_targets(alphas_hat, latents, batch["noise"], batch["t"])
+    else:
+        target = batch["noise"]
+
+    # instance / class-prior halves (reference chunk(2))
+    pred_inst, pred_prior = jnp.split(pred, 2, axis=0)
+    tgt_inst, tgt_prior = jnp.split(target, 2, axis=0)
+    loss_inst = jnp.mean((pred_inst - tgt_inst) ** 2)
+    loss_prior = jnp.mean((pred_prior - tgt_prior) ** 2)
+    return loss_inst + train_cfg.prior_loss_weight * loss_prior
+
+
+def make_train_step(
+    base_params,
+    *,
+    ucfg: unet_m.UNetConfig,
+    tcfg: clip_m.CLIPTextConfig,
+    vcfg: vae_m.VAEConfig,
+    schedule: S.DiffusionSchedule,
+    train_cfg: TrainConfig,
+    impl: str = "auto",
+):
+    """Returns a jittable (state, batch) -> (state, metrics) function."""
+    tx = make_optimizer(train_cfg)
+    table = jnp.asarray(schedule.alphas_hat)
+
+    def step_fn(state, batch):
+        loss, grads = jax.value_and_grad(dreambooth_loss)(
+            state["lora"],
+            base_params,
+            batch,
+            ucfg=ucfg,
+            tcfg=tcfg,
+            vcfg=vcfg,
+            alphas_hat=table,
+            train_cfg=train_cfg,
+            prediction_type=schedule.prediction_type,
+            impl=impl,
+        )
+        updates, opt_state = tx.update(grads, state["opt_state"], state["lora"])
+        lora = optax.apply_updates(state["lora"], updates)
+        step = state["step"] + 1
+        if train_cfg.use_ema:
+            ema = ema_m.ema_update(
+                state["ema"], lora, step, beta=train_cfg.ema_beta, start_ema=train_cfg.ema_start
+            )
+        else:
+            ema = lora
+        new_state = {"lora": lora, "opt_state": opt_state, "ema": ema, "step": step}
+        return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
+
+    return step_fn
+
+
+def sample_batch_noise(key, batch_images, latent_factor: int = 8, num_train_timesteps: int = 1000):
+    """Draw the per-batch stochastic pieces (t, eps, vae noise) outside the
+    jitted step — the functional analog of the reference's in-loop torch
+    sampling (train_lora_dreambooth.py:91-93)."""
+    b, h, w, _ = batch_images.shape
+    kt, kn, kv = jax.random.split(key, 3)
+    t = jax.random.randint(kt, (b,), 0, num_train_timesteps)
+    lat_shape = (b, h // latent_factor, w // latent_factor, 4)
+    return t, jax.random.normal(kn, lat_shape), jax.random.normal(kv, lat_shape)

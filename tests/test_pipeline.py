@@ -1,0 +1,184 @@
+"""End-to-end pipeline parity: our jitted lax.scan denoise loop vs a manual
+torch loop over the reference UNet + DDIMSampler (the reference's hot loop at
+models/diffusion.py:223-236), with shared weights, context, and latents."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import pytest
+
+from stable_diffusion_tpu.models import clip as jclip
+from stable_diffusion_tpu.models import unet as junet
+from stable_diffusion_tpu.models import vae as jvae
+from stable_diffusion_tpu.pipeline import StableDiffusion
+from stable_diffusion_tpu.utils.torch_interop import from_torch_state_dict
+from tests import ref
+from tests.test_unet import _small_ref_unet, to_nhwc
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    m, ucfg = _small_ref_unet()
+    oc = ref.load("models.clip.openclip")
+    torch.manual_seed(7)
+    tcfg_t = oc.CLIPTextConfig(
+        hidden_size=24, intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=77, vocab_size=100,
+    )
+    text = oc.CLIPTextModel(cfg=tcfg_t)
+    tcfg = jclip.CLIPTextConfig(
+        hidden_size=24, intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=77, vocab_size=100,
+    )
+    # 4 stages -> the standard /8 latent factor the pipeline assumes
+    vcfg = jvae.VAEConfig(ch_mult=(1, 1, 1, 1), base_channels=32)
+    vparams = jvae.init_vae(jax.random.key(3), vcfg)
+
+    pipe = StableDiffusion(
+        params={
+            "unet": from_torch_state_dict(m.state_dict()),
+            "text_encoder": from_torch_state_dict(text.state_dict()),
+            "vae": vparams,
+        },
+        unet_config=ucfg,
+        text_config=tcfg,
+        vae_config=vcfg,
+        impl="xla",
+    )
+    return pipe, m, text
+
+
+def _torch_reference_loop(m, context, latents, cfg_scale, steps):
+    """The reference generate() hot loop (diffusion.py:223-236) with DDIM."""
+    dd = ref.load("models.scheduler.ddim")
+    sampler = dd.DDIMSampler()
+    sampler._set_inference_steps(steps)
+    lat = torch.from_numpy(latents)
+    ctx = torch.from_numpy(context)
+    with torch.no_grad():
+        for timestep in sampler.timesteps:
+            t = timestep.unsqueeze(0)
+            model_input = lat.repeat(2, 1, 1, 1)
+            pred = m(model_input, t, ctx)
+            uncond, cond = pred.chunk(2)
+            pred = uncond + cfg_scale * (cond - uncond)
+            lat = sampler.reverse_process(lat, t, pred)
+    return lat.numpy()
+
+
+def test_txt2img_latent_parity(tiny, rng):
+    pipe, m, text = tiny
+    steps, cfg_scale = 3, 7.5
+    lat0 = rng.standard_normal((1, 4, 16, 16), dtype=np.float32)
+    cond_ids = rng.integers(0, 100, size=(1, 77)).astype(np.int64)
+    uncond_ids = rng.integers(0, 100, size=(1, 77)).astype(np.int64)
+
+    with torch.no_grad():
+        cond_emb = text(torch.from_numpy(cond_ids))
+        uncond_emb = text(torch.from_numpy(uncond_ids))
+        context = torch.cat([uncond_emb, cond_emb], dim=0).numpy()
+
+    want = to_nhwc(_torch_reference_loop(m, context, lat0, cfg_scale, steps))
+
+    got = pipe.generate(
+        prompt="",
+        do_cfg=True,
+        cfg_scale=cfg_scale,
+        inference_steps=steps,
+        sampler="ddim",
+        img_size=(128, 128),
+        cond_ids=cond_ids,
+        uncond_ids=uncond_ids,
+        initial_latents=to_nhwc(lat0),
+        return_latents=True,
+    )
+    mse = float(np.mean((got - want) ** 2))
+    assert mse < 1e-3, f"per-step latent parity MSE {mse}"  # BASELINE.json target
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_txt2img_no_cfg(tiny, rng):
+    pipe, m, text = tiny
+    lat0 = rng.standard_normal((2, 4, 16, 16), dtype=np.float32)
+    cond_ids = rng.integers(0, 100, size=(2, 77)).astype(np.int64)
+    with torch.no_grad():
+        context = text(torch.from_numpy(cond_ids)).numpy()
+    dd = ref.load("models.scheduler.ddim")
+    sampler = dd.DDIMSampler()
+    sampler._set_inference_steps(2)
+    lat = torch.from_numpy(lat0)
+    with torch.no_grad():
+        for timestep in sampler.timesteps:
+            pred = m(lat, timestep.unsqueeze(0), torch.from_numpy(context))
+            lat = sampler.reverse_process(lat, timestep.unsqueeze(0), pred)
+    want = to_nhwc(lat.numpy())
+
+    got = pipe.generate(
+        prompt="", do_cfg=False, inference_steps=2, sampler="ddim",
+        img_size=(128, 128), batch_size=2, cond_ids=cond_ids,
+        initial_latents=to_nhwc(lat0), return_latents=True,
+    )
+    np.testing.assert_allclose(got, want, atol=5e-4)
+
+
+def test_generate_full_image_output(tiny):
+    pipe, _, _ = tiny
+    imgs = pipe.generate(
+        prompt="", do_cfg=False, inference_steps=2, sampler="ddim",
+        img_size=(64, 64), cond_ids=np.zeros((1, 77), np.int64), seed=5,
+    )
+    assert imgs.shape == (1, 64, 64, 3)
+    assert np.all(np.isfinite(imgs))
+
+
+def test_one_step_generation(tiny):
+    pipe, m, text = tiny
+    imgs = pipe.generate_in_one_step(
+        prompt="", img_size=(64, 64), batch_size=2, cond_ids=np.zeros((1, 77), np.int64)
+    )
+    assert imgs.shape == (2, 64, 64, 3)
+    assert np.all(np.isfinite(imgs))
+
+
+def test_inpaint_smoke(tiny):
+    pipe, _, _ = tiny
+    img = (np.random.default_rng(0).random((64, 64, 3)) * 255).astype(np.uint8)
+    mask = np.zeros((64, 64), np.uint8)
+    mask[16:48, 16:48] = 255
+    out = pipe.inpaint(
+        prompt="", input_image=img, mask=mask, img_size=(64, 64),
+        inference_steps=2, sampler="ddim", do_cfg=True, cfg_scale=3.0,
+        cond_ids=np.zeros((1, 77), np.int64), uncond_ids=np.ones((1, 77), np.int64),
+    )
+    assert out.shape == (64, 64, 3)
+    assert out.dtype == np.uint8
+
+
+def test_img2img_path(tiny, rng):
+    pipe, _, _ = tiny
+    lat = rng.standard_normal((1, 8, 8, 4), dtype=np.float32)
+    imgs = pipe.generate(
+        prompt="", do_cfg=False, inference_steps=4, sampler="ddim",
+        strength=0.5, img_size=(64, 64), cond_ids=np.zeros((1, 77), np.int64),
+        input_latents=lat,
+    )
+    assert imgs.shape == (1, 64, 64, 3)
+    assert np.all(np.isfinite(imgs))
+
+
+def test_training_loss(tiny, rng):
+    pipe, _, _ = tiny
+    images = jnp.asarray(rng.standard_normal((2, 64, 64, 3), dtype=np.float32))
+    ids = jnp.zeros((2, 77), jnp.int32)
+    t = jnp.asarray([10, 500])
+    noise = jnp.asarray(rng.standard_normal((2, 8, 8, 4), dtype=np.float32))
+    loss = pipe.training_loss(pipe.params["unet"], images, ids, t, noise)
+    assert np.isfinite(float(loss))
+    grads = jax.grad(lambda p: pipe.training_loss(p, images, ids, t, noise))(
+        pipe.params["unet"]
+    )
+    gnorm = jax.tree_util.tree_reduce(
+        lambda a, l: a + float(jnp.sum(jnp.abs(l))), grads, 0.0
+    )
+    assert np.isfinite(gnorm) and gnorm > 0
