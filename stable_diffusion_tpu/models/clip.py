@@ -207,6 +207,141 @@ def init_text_encoder_v1(key, cfg: Optional[CLIPTextConfig] = None, dtype=jnp.fl
 
 
 # ---------------------------------------------------------------------------
+# CLIP vision tower + CLIP-score (evaluation support).
+#
+# The reference computes CLIP-score through torchmetrics' CLIP wrapper
+# (evaluation.py:21-31, commented out and torchmetrics-dependent); we
+# implement the full scoring model natively: a ViT image tower + the text /
+# visual projections of HF CLIPModel, so evaluation runs on TPU with no
+# torch dependency.  Param naming mirrors HF CLIPModel state_dict
+# (vision_model.*, visual_projection, text_projection, logit_scale).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_hidden_layers: int = 24
+    num_attention_heads: int = 16
+    image_size: int = 224
+    patch_size: int = 14
+    projection_dim: int = 768
+    hidden_act: str = "quick_gelu"
+    layer_norm_eps: float = 1e-5
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "CLIPVisionConfig":
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in data.items() if k in known})
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2
+
+
+def vision_model_apply(params, pixel_values: jax.Array, cfg: CLIPVisionConfig,
+                       *, impl: str = "auto") -> jax.Array:
+    """(B, H, W, 3) normalized pixels -> pooled (B, hidden) (post-LN CLS).
+
+    Mirrors HF CLIPVisionTransformer: patch conv (no bias) + class embedding
+    + position embeddings, pre-LN ("pre_layrnorm" — HF's typo), N non-causal
+    layers, post-LN on the CLS token.
+    """
+    emb = params["embeddings"]
+    b = pixel_values.shape[0]
+    patches = jax.lax.conv_general_dilated(
+        pixel_values,
+        emb["patch_embedding"]["kernel"].astype(pixel_values.dtype),
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    patches = patches.reshape(b, -1, cfg.hidden_size)
+    cls = jnp.broadcast_to(emb["class_embedding"].astype(pixel_values.dtype),
+                           (b, 1, cfg.hidden_size))
+    x = jnp.concatenate([cls, patches], axis=1)
+    x = x + emb["position_embedding"]["embedding"][: x.shape[1]].astype(x.dtype)
+    x = layers.layer_norm(params["pre_layrnorm"], x, eps=cfg.layer_norm_eps)
+    for i in range(cfg.num_hidden_layers):
+        # same pre-LN block as the text tower, without the causal mask
+        p = params["encoder"]["layers"][str(i)]
+        res = x
+        h = layers.layer_norm(p["layer_norm1"], x, eps=cfg.layer_norm_eps)
+        h = multihead_attention(p["self_attn"], h, num_heads=cfg.num_attention_heads, impl=impl)
+        x = h + res
+        res = x
+        h = layers.layer_norm(p["layer_norm2"], x, eps=cfg.layer_norm_eps)
+        h = _mlp(p["mlp"], h, _act(cfg.hidden_act))
+        x = h + res
+    pooled = x[:, 0]
+    return layers.layer_norm(params["post_layernorm"], pooled, eps=cfg.layer_norm_eps)
+
+
+def clip_image_embed(params, pixel_values, vcfg: CLIPVisionConfig, *, impl="auto"):
+    pooled = vision_model_apply(params["vision_model"], pixel_values, vcfg, impl=impl)
+    return layers.linear(params["visual_projection"], pooled)
+
+
+def clip_text_embed(params, input_ids, tcfg: CLIPTextConfig, *, impl="auto"):
+    """Pooled text embedding: hidden state at the EOT token (argmax of ids,
+    the original-CLIP convention) through text_projection."""
+    hidden = text_model_apply(params["text_model"], input_ids, tcfg, impl=impl)
+    eot = jnp.argmax(input_ids, axis=-1)
+    pooled = jnp.take_along_axis(hidden, eot[:, None, None], axis=1)[:, 0]
+    return layers.linear(params["text_projection"], pooled)
+
+
+def clip_score(params, pixel_values, input_ids, vcfg: CLIPVisionConfig,
+               tcfg: CLIPTextConfig, *, impl="auto") -> jax.Array:
+    """torchmetrics-compatible CLIP score: 100 * max(cos_sim, 0) per pair.
+
+    pixel_values: (B, H, W, 3) raw [0, 255] images — CLIP normalization is
+    applied here."""
+    mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073], pixel_values.dtype)
+    std = jnp.asarray([0.26862954, 0.26130258, 0.27577711], pixel_values.dtype)
+    px = (pixel_values / 255.0 - mean) / std
+    img = clip_image_embed(params, px, vcfg, impl=impl)
+    txt = clip_text_embed(params, input_ids, tcfg, impl=impl)
+    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    return jnp.maximum(jnp.sum(img * txt, axis=-1), 0.0) * 100.0
+
+
+def init_vision_model(key, cfg: CLIPVisionConfig, dtype=jnp.float32):
+    ks = iter(jax.random.split(key, 4 + cfg.num_hidden_layers))
+    lyrs = {}
+    for i in range(cfg.num_hidden_layers):
+        lk = jax.random.split(next(ks), 3)
+        lyrs[str(i)] = {
+            "layer_norm1": layers.init_norm(cfg.hidden_size, dtype),
+            "self_attn": init_multihead_attention(lk[0], cfg.hidden_size, dtype=dtype),
+            "layer_norm2": layers.init_norm(cfg.hidden_size, dtype),
+            "mlp": {
+                "fc1": layers.init_linear(lk[1], cfg.hidden_size, cfg.intermediate_size, dtype=dtype),
+                "fc2": layers.init_linear(lk[2], cfg.intermediate_size, cfg.hidden_size, dtype=dtype),
+            },
+        }
+    return {
+        "embeddings": {
+            "class_embedding": jax.random.normal(next(ks), (cfg.hidden_size,), dtype),
+            "patch_embedding": {
+                "kernel": jax.random.normal(
+                    next(ks), (cfg.patch_size, cfg.patch_size, 3, cfg.hidden_size), dtype
+                )
+                * 0.02
+            },
+            "position_embedding": layers.init_embedding(
+                next(ks), cfg.num_patches + 1, cfg.hidden_size, dtype
+            ),
+        },
+        "pre_layrnorm": layers.init_norm(cfg.hidden_size, dtype),
+        "encoder": {"layers": lyrs},
+        "post_layernorm": layers.init_norm(cfg.hidden_size, dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
 # ClassEncoder (reference models/clip/clip.py:96-102)
 # ---------------------------------------------------------------------------
 

@@ -29,8 +29,14 @@ import numpy as np
 
 
 def linear(params, x: jax.Array) -> jax.Array:
-    """x @ kernel + bias.  kernel: (in, out)."""
-    kernel = params["kernel"].astype(x.dtype)
+    """x @ kernel + bias.  kernel: (in, out).
+
+    Quantized form: {"kernel_q": int8 (in, out), "kernel_scale": (1, out)}
+    (ops/quantize.py) — the dequant convert+mul fuses into the dot."""
+    if "kernel_q" in params:
+        kernel = (params["kernel_q"].astype(jnp.float32) * params["kernel_scale"]).astype(x.dtype)
+    else:
+        kernel = params["kernel"].astype(x.dtype)
     y = jnp.dot(x, kernel, preferred_element_type=x.dtype)
     if "bias" in params:
         y = y + params["bias"].astype(x.dtype)

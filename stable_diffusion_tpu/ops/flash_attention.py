@@ -30,8 +30,8 @@ _NEG_INF = -1e30
 
 
 def _pick_blocks(seq: int, head_dim: int):
-    bq = 256 if head_dim <= 128 else 128
-    bk = 512 if head_dim <= 128 else 128
+    bq = 512 if head_dim <= 128 else 128
+    bk = 1024 if head_dim <= 128 else 256
     return min(bq, seq), min(bk, seq)
 
 
@@ -69,23 +69,26 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale: f
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
-    k = k_ref[0].astype(jnp.float32)  # (BK, D)
-    v = v_ref[0].astype(jnp.float32)  # (BK, D)
+    # keep matmul operands in their storage dtype (bf16): the MXU runs
+    # bf16 x bf16 -> f32 at full rate; upcasting inputs to f32 first would
+    # drop it ~8x.  Softmax statistics stay f32.
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (BK, D)
+    v = v_ref[0]  # (BK, D)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK)
+    ) * scale  # (BQ, BK) f32
 
     m_prev = m_ref[:, 0:1]  # (BQ, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)  # (BQ, BK)
+    p = jnp.exp(s - m_new)  # (BQ, BK) f32
     alpha = jnp.exp(m_prev - m_new)  # (BQ, 1)
 
     l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p, v, preferred_element_type=jnp.float32
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
     )
     m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
     l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)

@@ -1,0 +1,160 @@
+"""CLIP vision tower / CLIP-score parity vs HF transformers; quantization;
+datasets; checkpoint roundtrip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from stable_diffusion_tpu.models import clip as jclip
+from stable_diffusion_tpu.utils.torch_interop import from_torch_state_dict
+
+
+@pytest.fixture(scope="module")
+def hf_clip():
+    from transformers import CLIPConfig, CLIPModel, CLIPTextConfig, CLIPVisionConfig
+
+    torch.manual_seed(0)
+    cfg = CLIPConfig(
+        text_config=CLIPTextConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, max_position_embeddings=16, vocab_size=100,
+            hidden_act="quick_gelu", projection_dim=24,
+        ).to_dict(),
+        vision_config=CLIPVisionConfig(
+            hidden_size=40, intermediate_size=80, num_hidden_layers=2,
+            num_attention_heads=4, image_size=28, patch_size=14,
+            hidden_act="quick_gelu", projection_dim=24,
+        ).to_dict(),
+        projection_dim=24,
+    )
+    return CLIPModel(cfg).eval()
+
+
+def test_vision_tower_parity(hf_clip, rng):
+    m = hf_clip.vision_model
+    px = rng.standard_normal((2, 3, 28, 28), dtype=np.float32)
+    with torch.no_grad():
+        want = m(torch.from_numpy(px)).pooler_output.numpy()
+    p = from_torch_state_dict(m.state_dict())
+    vcfg = jclip.CLIPVisionConfig(
+        hidden_size=40, intermediate_size=80, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+    )
+    got = np.asarray(
+        jclip.vision_model_apply(p, jnp.asarray(px.transpose(0, 2, 3, 1)), vcfg, impl="xla")
+    )
+    np.testing.assert_allclose(got, want, atol=3e-5)
+
+
+def test_clip_score_parity(hf_clip, rng):
+    """Our clip_score vs the torchmetrics formula computed with HF CLIPModel
+    (100 * max(cos(img_emb, txt_emb), 0))."""
+    px_u8 = (rng.random((2, 28, 28, 3)) * 255).astype(np.float32)
+    ids = rng.integers(1, 100, size=(2, 16)).astype(np.int64)
+
+    mean = np.array([0.48145466, 0.4578275, 0.40821073], np.float32)
+    std = np.array([0.26862954, 0.26130258, 0.27577711], np.float32)
+    px_norm = ((px_u8 / 255.0 - mean) / std).transpose(0, 3, 1, 2)
+    with torch.no_grad():
+        img_emb = hf_clip.get_image_features(torch.from_numpy(px_norm))
+        txt_emb = hf_clip.get_text_features(torch.from_numpy(ids))
+        cos = torch.nn.functional.cosine_similarity(img_emb, txt_emb)
+        want = (100 * cos.clamp(min=0)).numpy()
+
+    params = from_torch_state_dict(hf_clip.state_dict())
+    vcfg = jclip.CLIPVisionConfig(
+        hidden_size=40, intermediate_size=80, num_hidden_layers=2,
+        num_attention_heads=4, image_size=28, patch_size=14,
+    )
+    tcfg = jclip.CLIPTextConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=16, vocab_size=100,
+        hidden_act="quick_gelu",
+    )
+    got = np.asarray(
+        jclip.clip_score(params, jnp.asarray(px_u8), jnp.asarray(ids), vcfg, tcfg, impl="xla")
+    )
+    np.testing.assert_allclose(got, want, atol=1e-2)
+
+
+def test_weight_only_int8(rng):
+    from stable_diffusion_tpu.models import layers
+    from stable_diffusion_tpu.utils.quantize_model import quantize_params, quantization_error
+
+    params = {"mlp": {"fc1": {"kernel": jnp.asarray(rng.standard_normal((64, 32), dtype=np.float32)),
+                              "bias": jnp.zeros((32,))}}}
+    q = quantize_params(params)
+    assert q["mlp"]["fc1"]["kernel_q"].dtype == jnp.int8
+    x = jnp.asarray(rng.standard_normal((4, 64), dtype=np.float32))
+    y_full = layers.linear(params["mlp"]["fc1"], x)
+    y_q = layers.linear(q["mlp"]["fc1"], x)
+    rel = float(jnp.linalg.norm(y_full - y_q) / jnp.linalg.norm(y_full))
+    assert rel < 0.02  # int8 per-channel error budget
+    errs = quantization_error(params, q)
+    assert all(e < 0.01 for e in errs.values())
+
+
+def test_conv_kernels_not_quantized(rng):
+    from stable_diffusion_tpu.utils.quantize_model import quantize_params
+
+    params = {"conv": {"kernel": jnp.zeros((3, 3, 8, 8))}, "lin": {"kernel": jnp.ones((8, 8))}}
+    q = quantize_params(params)
+    assert "kernel" in q["conv"] and "kernel_q" in q["lin"]
+
+
+def test_dreambooth_dataset(tmp_path, rng):
+    from PIL import Image
+
+    from stable_diffusion_tpu.utils import datasets
+
+    for d, label in [("instance_data", "a sks dog"), ("class_prior_data", "a dog")]:
+        (tmp_path / d).mkdir()
+        for i in range(3):
+            Image.fromarray((rng.random((20, 20, 3)) * 255).astype(np.uint8)).save(
+                tmp_path / d / f"{i}.png"
+            )
+        (tmp_path / d / "label.txt").write_text(label)
+
+    class FakeTok:
+        def __call__(self, prompt, **kw):
+            class R:
+                input_ids = [1, 2, 3]
+
+            return R()
+
+        def pad(self, enc, *, padding, max_length, return_tensors):
+            ids = np.zeros((len(enc["input_ids"]), max_length), np.int64)
+            for i, row in enumerate(enc["input_ids"]):
+                ids[i, : len(row)] = row
+
+            class R:
+                pass
+
+            r = {"input_ids": ids}
+            return r
+
+    train, test = datasets.create_dataloaders(
+        FakeTok(), str(tmp_path / "instance_data"), str(tmp_path / "class_prior_data"),
+        train_test_split=1.0, batch_size=2, num_workers=0, img_size=(16, 16),
+    )
+    batch = next(iter(train))
+    assert batch["pixel_values"].shape == (4, 16, 16, 3)  # [instance;class] halves
+    assert batch["input_ids"].shape == (4, 77)
+    assert batch["pixel_values"].min() >= -1.0 and batch["pixel_values"].max() <= 1.0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from stable_diffusion_tpu.utils import checkpoint as ckpt
+
+    state = {
+        "epoch": 3,
+        "state": {"lora": {"w": jnp.arange(6.0).reshape(2, 3)}, "step": jnp.asarray(7)},
+    }
+    path = ckpt.save_train_checkpoint(str(tmp_path / "ck"), state)
+    restored = ckpt.load_train_checkpoint(path)
+    assert int(np.asarray(restored["epoch"])) == 3
+    np.testing.assert_allclose(
+        np.asarray(restored["state"]["lora"]["w"]), np.arange(6.0).reshape(2, 3)
+    )
