@@ -1,11 +1,17 @@
-"""Benchmark: SD 1.5 txt2img, 512x512, DDIM-50, CFG 7.5, batch 1 (BASELINE.json
-config 1) on one TPU chip, end-to-end (text encode -> scan denoise -> VAE
-decode), bf16 weights/activations, random-initialized full-size models (perf
-is weight-independent).
+"""Benchmarks for the BASELINE.json configs on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is measured imgs/sec divided by the 1.5 img/s/chip north-star
-target (the reference publishes no numbers — BASELINE.md)."""
+Default (what the driver runs): config 1 — SD 1.5 txt2img, 512x512, DDIM-50,
+CFG 7.5, batch 1, end-to-end (text encode -> scan denoise -> VAE decode) as a
+single device program, bf16, full-size random-init models (perf is
+weight-independent).  Prints ONE JSON line
+{"metric", "value", "unit", "vs_baseline"}; vs_baseline = measured / the
+1.5 img/s/chip north-star target (the reference publishes no numbers —
+BASELINE.md).
+
+Other BASELINE configs via BENCH_CONFIG:
+  sd15_txt2img (default) | sd15_img2img | sd21_txt2img_768 |
+  one_step_b32 | train_step
+"""
 
 import json
 import os
@@ -19,14 +25,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def build_pipeline(dtype=jnp.bfloat16):
+def _zeros_like_tree(shapes):
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def build_pipeline(sd_version="1.5", dtype=jnp.bfloat16):
     from stable_diffusion_tpu.models import clip as clip_m
     from stable_diffusion_tpu.models import unet as unet_m
     from stable_diffusion_tpu.models import vae as vae_m
     from stable_diffusion_tpu.pipeline import StableDiffusion
 
-    ucfg = unet_m.UNetConfig.sd15()
-    tcfg = clip_m.CLIPTextConfig.vit_l()
+    if sd_version == "1.5":
+        ucfg, tcfg = unet_m.UNetConfig.sd15(), clip_m.CLIPTextConfig.vit_l()
+        pred = "epsilon"
+    else:
+        ucfg, tcfg = unet_m.UNetConfig.sd21(), clip_m.CLIPTextConfig.vit_h()
+        pred = "v_prediction"
     vcfg = vae_m.VAEConfig()
     k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
     # zeros with the real shapes (eval_shape, no RNG): perf-identical to
@@ -36,48 +50,166 @@ def build_pipeline(dtype=jnp.bfloat16):
         "text_encoder": jax.eval_shape(lambda k: clip_m.init_text_model(k, tcfg, dtype=dtype), k2),
         "vae": jax.eval_shape(lambda k: vae_m.init_vae(k, vcfg, dtype=dtype), k3),
     }
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    params = jax.device_put(params)
+    params = jax.device_put(_zeros_like_tree(shapes))
     return StableDiffusion(
         params=params, unet_config=ucfg, text_config=tcfg, vae_config=vcfg,
-        dtype=dtype, impl="auto", sd_version="1.5",
+        scheduler_config={"num_train_timesteps": 1000, "beta_start": 0.00085,
+                          "beta_end": 0.012, "prediction_type": pred},
+        dtype=dtype, impl="auto", sd_version=sd_version,
     )
 
 
-def main():
-    steps = int(os.environ.get("BENCH_STEPS", "50"))
-    batch = int(os.environ.get("BENCH_BATCH", "1"))
-    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+def _timed(run, repeats):
+    run(0)  # warmup + compile
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        out = run(i + 1)
+    dt = (time.perf_counter() - t0) / repeats
+    assert np.all(np.isfinite(out))
+    return dt
 
-    pipe = build_pipeline()
-    cond_ids = np.zeros((batch, 77), np.int64)
-    uncond_ids = np.ones((batch, 77), np.int64)
+
+def bench_sd15_txt2img(repeats, steps=50, batch=1):
+    pipe = build_pipeline("1.5")
+    cond = np.zeros((batch, 77), np.int64)
+    unc = np.ones((batch, 77), np.int64)
 
     def run(seed):
         return pipe.generate(
             prompt="", do_cfg=True, cfg_scale=7.5, inference_steps=steps,
             sampler="ddim", img_size=(512, 512), batch_size=batch,
-            cond_ids=cond_ids, uncond_ids=uncond_ids, seed=seed,
+            cond_ids=cond, uncond_ids=unc, seed=seed,
         )
 
-    run(0)  # warmup + compile
+    dt = _timed(run, repeats)
+    return {
+        "metric": "sd15 txt2img 512x512 DDIM-50 CFG7.5 imgs/sec/chip",
+        "value": round(batch / dt, 4),
+        "unit": "img/s",
+        "vs_baseline": round(batch / dt / 1.5, 4),
+    }
+
+
+def bench_sd15_img2img(repeats):
+    """BASELINE config 2: strength-scheduled DDPM, cosine schedule, batch 4."""
+    pipe = build_pipeline("1.5")
+    batch = 4
+    cond = np.zeros((batch, 77), np.int64)
+    unc = np.ones((batch, 77), np.int64)
+    lat = np.random.default_rng(0).standard_normal((batch, 64, 64, 4), np.float32)
+
+    def run(seed):
+        return pipe.generate(
+            prompt="", do_cfg=True, cfg_scale=7.5, inference_steps=50,
+            sampler="ddpm", use_cosine_schedule=True, strength=0.8,
+            img_size=(512, 512), batch_size=batch, cond_ids=cond,
+            uncond_ids=unc, seed=seed, input_latents=lat,
+        )
+
+    dt = _timed(run, repeats)
+    return {
+        "metric": "sd15 img2img 512x512 DDPM-cosine s0.8 b4 imgs/sec/chip",
+        "value": round(batch / dt, 4), "unit": "img/s",
+        "vs_baseline": round(batch / dt / 1.5, 4),
+    }
+
+
+def bench_sd21_txt2img_768(repeats):
+    """BASELINE config 3: SD2.1, v-prediction, 768x768, DDIM 50."""
+    pipe = build_pipeline("2.1")
+    cond = np.zeros((1, 77), np.int64)
+    unc = np.ones((1, 77), np.int64)
+
+    def run(seed):
+        return pipe.generate(
+            prompt="", do_cfg=True, cfg_scale=7.5, inference_steps=50,
+            sampler="ddim", img_size=(768, 768), batch_size=1,
+            cond_ids=cond, uncond_ids=unc, seed=seed,
+        )
+
+    dt = _timed(run, repeats)
+    return {
+        "metric": "sd21 txt2img 768x768 DDIM-50 v-pred imgs/sec/chip",
+        "value": round(1 / dt, 4), "unit": "img/s",
+        "vs_baseline": round(1 / dt / 1.5, 4),
+    }
+
+
+def bench_one_step_b32(repeats):
+    """BASELINE config 5: SwiftBrush one-step generation, batch 32."""
+    pipe = build_pipeline("1.5")
+    cond = np.zeros((1, 77), np.int64)
+
+    def run(seed):
+        return pipe.generate_in_one_step(
+            prompt="", img_size=(512, 512), batch_size=32, cond_ids=cond, seed=seed
+        )
+
+    dt = _timed(run, repeats)
+    return {
+        "metric": "swiftbrush one-step 512x512 b32 imgs/sec/chip",
+        "value": round(32 / dt, 4), "unit": "img/s",
+        "vs_baseline": round(32 / dt / 1.5, 4),
+    }
+
+
+def bench_train_step(repeats):
+    """BASELINE config 4: LoRA+DreamBooth train step (EMA, remat, accum)."""
+    from stable_diffusion_tpu import schedulers as S
+    from stable_diffusion_tpu import training as T
+    from stable_diffusion_tpu.models import clip as clip_m
+    from stable_diffusion_tpu.models import unet as unet_m
+    from stable_diffusion_tpu.models import vae as vae_m
+
+    pipe = build_pipeline("1.5")
+    cfg = T.TrainConfig(rank=128, alpha=128.0, use_ema=True,
+                        gradient_checkpointing=True, grad_accum_steps=2,
+                        lora_targets=("q_proj", "k_proj", "v_proj", "out_proj"))
+    schedule = S.make_schedule()
+    state = T.init_train_state(jax.random.key(0), pipe.params, cfg)
+    step_fn = jax.jit(T.make_train_step(
+        pipe.params, ucfg=pipe.unet_config, tcfg=pipe.text_config,
+        vcfg=pipe.vae_config, schedule=schedule, train_cfg=cfg,
+    ))
+    b = 4  # 2 instance + 2 prior
+    img = jax.random.normal(jax.random.key(1), (b, 512, 512, 3), jnp.bfloat16)
+    t, noise, vnoise = T.sample_batch_noise(jax.random.key(2), img)
+    batch = {"images": img, "input_ids": jnp.zeros((b, 77), jnp.int32),
+             "t": t, "noise": noise.astype(jnp.bfloat16),
+             "vae_noise": vnoise.astype(jnp.bfloat16)}
+
+    state, m = step_fn(state, batch)  # compile
+    _ = np.asarray(m["loss"])
     t0 = time.perf_counter()
-    for i in range(repeats):
-        imgs = run(i + 1)
+    for _ in range(repeats):
+        state, m = step_fn(state, batch)
+    _ = np.asarray(m["loss"])
     dt = (time.perf_counter() - t0) / repeats
-    assert np.all(np.isfinite(imgs))
+    return {
+        "metric": "dreambooth-lora train step b4 512x512 steps/sec/chip",
+        "value": round(1 / dt, 4), "unit": "steps/s", "vs_baseline": round(1 / dt, 4),
+    }
 
-    imgs_per_sec = batch / dt
-    print(
-        json.dumps(
-            {
-                "metric": "sd15 txt2img 512x512 DDIM-50 CFG7.5 imgs/sec/chip",
-                "value": round(imgs_per_sec, 4),
-                "unit": "img/s",
-                "vs_baseline": round(imgs_per_sec / 1.5, 4),
-            }
-        )
-    )
+
+CONFIGS = {
+    "sd15_txt2img": bench_sd15_txt2img,
+    "sd15_img2img": bench_sd15_img2img,
+    "sd21_txt2img_768": bench_sd21_txt2img_768,
+    "one_step_b32": bench_one_step_b32,
+    "train_step": bench_train_step,
+}
+
+
+def main():
+    name = os.environ.get("BENCH_CONFIG", "sd15_txt2img")
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    if name == "sd15_txt2img":
+        steps = int(os.environ.get("BENCH_STEPS", "50"))
+        batch = int(os.environ.get("BENCH_BATCH", "1"))
+        result = bench_sd15_txt2img(repeats, steps=steps, batch=batch)
+    else:
+        result = CONFIGS[name](repeats)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -39,9 +39,23 @@ def multihead_attention(
     b, sq, e = x.shape
     d = e // num_heads
 
-    q = layers.linear(params[qn], x).reshape(b, sq, num_heads, d)
-    k = layers.linear(params[kn], kv_in).reshape(b, kv_in.shape[1], num_heads, d)
-    v = layers.linear(params[vn], kv_in).reshape(b, kv_in.shape[1], num_heads, d)
+    if cond is None and "kernel" in params[qn]:
+        # fused QKV: one (E, 3E) matmul instead of three — wider N keeps the
+        # MXU busier and reads the activation once
+        wq, wk, wv = (params[n]["kernel"].astype(x.dtype) for n in (qn, kn, vn))
+        qkv = jnp.dot(x, jnp.concatenate([wq, wk, wv], axis=1), preferred_element_type=x.dtype)
+        if "bias" in params[qn]:
+            qkv = qkv + jnp.concatenate(
+                [params[n]["bias"].astype(x.dtype) for n in (qn, kn, vn)]
+            )
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, sq, num_heads, d)
+        k = k.reshape(b, sq, num_heads, d)
+        v = v.reshape(b, sq, num_heads, d)
+    else:
+        q = layers.linear(params[qn], x).reshape(b, sq, num_heads, d)
+        k = layers.linear(params[kn], kv_in).reshape(b, kv_in.shape[1], num_heads, d)
+        v = layers.linear(params[vn], kv_in).reshape(b, kv_in.shape[1], num_heads, d)
 
     out = sdpa(q, k, v, causal=causal, impl=impl)
     out = out.reshape(b, sq, e)

@@ -118,19 +118,21 @@ def time_embedding_apply(params, timestep: jax.Array, cfg: UNetConfig, dtype) ->
     return layers.linear(params["ffn"]["2"], t)
 
 
-def resblock_apply(params, x: jax.Array, t_embed: jax.Array, *, eps: float) -> jax.Array:
+def resblock_apply(params, x: jax.Array, t_embed: jax.Array, *, eps: float,
+                   impl: str = "auto") -> jax.Array:
     """GN-SiLU-conv + time-proj add + GN-SiLU-conv + shortcut
-    (reference unet.py:153-195).  x: NHWC; t_embed: (B or 1, 4*t_dim)."""
-    h = layers.group_norm(params["groupnorm_1"], x, eps=eps)
-    h = layers.silu(h)
+    (reference unet.py:153-195).  x: NHWC; t_embed: (B or 1, 4*t_dim).
+    GN+SiLU runs fused in one Pallas pass on TPU (ops/groupnorm.py)."""
+    from stable_diffusion_tpu.ops.groupnorm import group_norm_silu
+
+    h = group_norm_silu(params["groupnorm_1"], x, eps=eps, silu=True, impl=impl)
     h = layers.conv2d(params["conv_1"], h)
 
     time = layers.silu(t_embed)
     time = layers.linear(params["t_embed"], time)
     h = h + time[:, None, None, :]
 
-    h = layers.group_norm(params["groupnorm_2"], h, eps=eps)
-    h = layers.silu(h)
+    h = group_norm_silu(params["groupnorm_2"], h, eps=eps, silu=True, impl=impl)
     h = layers.conv2d(params["conv_2"], h)
 
     if "proj_input" in params:
@@ -161,9 +163,11 @@ def attention_block_apply(params, x, cond, *, num_heads: int, impl: str) -> jax.
 def transformer_encoder_apply(params, x, cond, *, num_heads: int, impl: str) -> jax.Array:
     """Spatial transformer: GN(eps 1e-6) -> 1x1 conv -> tokens -> attention
     block -> 1x1 conv -> +residual (reference unet.py:62-91).  x: NHWC."""
+    from stable_diffusion_tpu.ops.groupnorm import group_norm_silu
+
     b, h_, w_, c = x.shape
     res = x
-    x = layers.group_norm(params["groupnorm"], x, eps=1e-6)
+    x = group_norm_silu(params["groupnorm"], x, eps=1e-6, silu=False, impl=impl)
     x = layers.conv2d(params["conv_input"], x)
     x = x.reshape(b, h_ * w_, c)
     x = attention_block_apply(params["transformer_block"], x, cond, num_heads=num_heads, impl=impl)
@@ -180,7 +184,7 @@ def _block_apply(params, x, t_embed, cond, *, num_heads, eps, impl, remat=False)
     (unet.py:130-141), trading FLOPs for HBM.
     """
     def run(params, x, t_embed, cond):
-        x = resblock_apply(params["0"], x, t_embed, eps=eps)
+        x = resblock_apply(params["0"], x, t_embed, eps=eps, impl=impl)
         if "1" in params:
             x = transformer_encoder_apply(params["1"], x, cond, num_heads=num_heads, impl=impl)
         return x
@@ -236,9 +240,9 @@ def unet_apply(
 
     # ----- bottleneck (reference unet.py:383-391) -----
     mid = params["bottleneck"]
-    h = resblock_apply(mid["0"], h, t_embed, eps=eps)
+    h = resblock_apply(mid["0"], h, t_embed, eps=eps, impl=impl)
     h = transformer_encoder_apply(mid["1"], h, cond, num_heads=heads[-1], impl=impl)
-    h = resblock_apply(mid["2"], h, t_embed, eps=eps)
+    h = resblock_apply(mid["2"], h, t_embed, eps=eps, impl=impl)
 
     # ----- decoder (reference unet.py:337-351) -----
     dec = params["decoder"]
@@ -260,9 +264,10 @@ def unet_apply(
             h = layers.conv2d(stage["upsample"]["conv"], h)
 
     # ----- output head (reference unet.py:398-401) -----
+    from stable_diffusion_tpu.ops.groupnorm import group_norm_silu
+
     out = params["output"]
-    h = layers.group_norm(out["0"], h, eps=eps)
-    h = layers.silu(h)
+    h = group_norm_silu(out["0"], h, eps=eps, silu=True, impl=impl)
     return layers.conv2d(out["2"], h)
 
 

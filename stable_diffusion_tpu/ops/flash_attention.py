@@ -2,16 +2,21 @@
 
 TPU-native replacement for the reference's optional ``flash_attn`` CUDA wheel
 (reference models/unet/attention.py:52-67).  Online-softmax blockwise
-attention: grid is (batch*heads, q_blocks, kv_blocks) with the kv dimension
-innermost; running max / normalizer / accumulator live in VMEM scratch that
-persists across sequential grid steps, so HBM traffic is one pass over Q, K,
-V and one write of O — no S x S logits materialized.
+attention with a layout chosen for the TPU memory system:
 
-Covers the UNet/VAE self-attention shapes (seq in {64..4096} multiples of the
-block size, head_dim {64, 128, 256, 512}).  Cross-attention with 77-token
-text keys and the 77-token causal text towers are left to the XLA path —
-their logits are tiny and XLA fuses them well.
+  * Inputs stay in the (B, S, H, D) projection layout and are viewed as
+    (B, S, H*Dp) — a free minor-dim reshape, NO transposes (a BHSD permute
+    would cost ~1 GB/step of HBM traffic across the UNet's 32 attentions).
+  * The grid walks (batch, q_blocks, kv_blocks) with kv innermost; all heads
+    are processed inside one grid step (static python loop), so K/V block
+    loads are shared across heads and grid overhead is amortized.
+  * Matmul operands stay bf16 (MXU bf16 x bf16 -> f32 full rate); softmax
+    statistics are f32 in VMEM scratch persisting across kv steps.
+  * Head dims that are not lane-friendly (SD1.5 uses 40/80/160) are
+    zero-padded per head to {64, 128, 256} — zero dims contribute nothing.
 
+Covers self-attention (seq in {256..4096}); 77-token cross attention and the
+causal text towers route to the XLA path (tiny logits, XLA fuses them well).
 Gradients flow through a recompute-based custom VJP (XLA backward), so the
 kernel is usable inside the training step too.
 """
@@ -29,19 +34,22 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _pick_blocks(seq: int, head_dim: int):
-    bq = 512 if head_dim <= 128 else 128
-    bk = 1024 if head_dim <= 128 else 256
-    return min(bq, seq), min(bk, seq)
-
-
 def _padded_dim(d: int) -> int:
-    """Head dims are zero-padded up to a lane-friendly size (SD 1.5 uses
-    40/80/160; zero dims contribute nothing to logits or outputs)."""
     for t in (64, 128, 256, 512):
         if d <= t:
             return t
     return 0
+
+
+def _pick_blocks(seq: int, width: int):
+    """width = num_heads * padded_head_dim (the merged lane dim)."""
+    if width <= 512:
+        bq, bk = 512, 1024
+    elif width <= 1024:
+        bq, bk = 256, 512
+    else:
+        bq, bk = 256, 256
+    return min(bq, seq), min(bk, seq)
 
 
 def supported(q: jax.Array, k: jax.Array) -> bool:
@@ -55,11 +63,12 @@ def supported(q: jax.Array, k: jax.Array) -> bool:
     dp = _padded_dim(d)
     if dp == 0:
         return False
-    bq, bk = _pick_blocks(sq, dp)
+    bq, bk = _pick_blocks(sq, h * dp)
     return sq % bq == 0 and sk % bk == 0 and sq >= 128
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
+                  scale: float, num_heads: int, head_dim: int):
     j = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -69,79 +78,153 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *, scale: f
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    # keep matmul operands in their storage dtype (bf16): the MXU runs
-    # bf16 x bf16 -> f32 at full rate; upcasting inputs to f32 first would
-    # drop it ~8x.  Softmax statistics stay f32.
-    q = q_ref[0]  # (BQ, D)
-    k = k_ref[0]  # (BK, D)
-    v = v_ref[0]  # (BK, D)
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        # bf16 operands -> f32 accumulation: full MXU rate
+        q = q_ref[0, :, sl]  # (BQ, Dp)
+        k = k_ref[0, :, sl]  # (BK, Dp)
+        v = v_ref[0, :, sl]  # (BK, Dp)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK) f32
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BQ, BK) f32
 
-    m_prev = m_ref[:, 0:1]  # (BQ, 1)
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)  # (BQ, BK) f32
-    alpha = jnp.exp(m_prev - m_new)  # (BQ, 1)
+        m_prev = m_ref[h, :, 0:1]  # (BQ, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
 
-    l_new = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        l_new = l_ref[h, :, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc_ref[:, sl] * alpha + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        acc_ref[:, sl] = acc_new
+        m_ref[h] = jnp.broadcast_to(m_new, m_ref.shape[1:])
+        l_ref[h] = jnp.broadcast_to(l_new, l_ref.shape[1:])
+
+        @pl.when(j == nk - 1)
+        def _finalize():
+            o_ref[0, :, sl] = (acc_new / l_new).astype(o_ref.dtype)
+
+
+def _flash_merged_online(q, k, v, *, scale: float, num_heads: int, head_dim: int):
+    """Online-softmax path (kv-blocked) for sequences whose full K/V exceed
+    the VMEM budget.  q, k, v: (B, S, H*Dp) -> (B, S, H*Dp)."""
+    b, s, w = q.shape
+    bq, bk = _pick_blocks(s, w)
+    grid = (b, s // bq, s // bk)
+    kernel = functools.partial(
+        _flash_kernel, scale=scale, num_heads=num_heads, head_dim=head_dim
     )
-    m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-    l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
-
-    @pl.when(j == nk - 1)
-    def _finalize():
-        o_ref[0] = (acc_ref[:] / l_ref[:, 0:1]).astype(o_ref.dtype)
-
-
-def _flash_bhsd(q: jax.Array, k: jax.Array, v: jax.Array, *, scale: float) -> jax.Array:
-    """q, k, v: (BH, S, D) -> (BH, S, D)."""
-    bh, s, d = q.shape
-    bq, bk = _pick_blocks(s, d)
-    grid = (bh, s // bq, s // bk)
-    kernel = functools.partial(_flash_kernel, scale=scale)
-    flops = 4 * bh * s * s * d
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
-            pl.BlockSpec((1, bk, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec((1, bq, w), lambda g, i, j: (g, i, 0)),
+            pl.BlockSpec((1, bk, w), lambda g, i, j: (g, j, 0)),
+            pl.BlockSpec((1, bk, w), lambda g, i, j: (g, j, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda b, i, j: (b, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, s, d), q.dtype),
+        out_specs=pl.BlockSpec((1, bq, w), lambda g, i, j: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, w), q.dtype),
         scratch_shapes=[
-            pltpu.VMEM((bq, d), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
-            pltpu.VMEM((bq, 128), jnp.float32),
+            pltpu.VMEM((bq, w), jnp.float32),
+            pltpu.VMEM((num_heads, bq, 128), jnp.float32),
+            pltpu.VMEM((num_heads, bq, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=flops,
-            bytes_accessed=(3 * bh * s * d + bh * s * d) * q.dtype.itemsize,
-            transcendentals=bh * s * s,
+            flops=4 * b * s * s * w,
+            bytes_accessed=4 * b * s * w * q.dtype.itemsize,
+            transcendentals=b * num_heads * s * s,
         ),
     )(q, k, v)
+
+
+def _single_pass_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, head_dim):
+    """Full K/V resident in VMEM: plain (numerically-safe) softmax per q
+    block, no online rescaling, no scratch carries — much less VPU work."""
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0, :, sl]  # (BQ, Dp) bf16
+        k = k_ref[0, :, sl]  # (S, Dp)
+        v = v_ref[0, :, sl]  # (S, Dp)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BQ, S) f32
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+
+
+# single-pass needs K+V (+ f32 logits row + exp'd + bf16 copy) in VMEM
+_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _fits_single_pass(s: int, w: int, itemsize: int, bq: int) -> bool:
+    kv = 2 * s * w * itemsize
+    row = bq * s * (4 + 4 + 2)
+    bufs = 4 * bq * w * (itemsize + 4)  # double-buffered q/out + f32 acc
+    return kv + row + bufs < _VMEM_BUDGET
+
+
+def _flash_merged_single(q, k, v, *, scale: float, num_heads: int, head_dim: int, bq: int):
+    b, s, w = q.shape
+    grid = (b, s // bq)
+    kernel = functools.partial(
+        _single_pass_kernel, scale=scale, num_heads=num_heads, head_dim=head_dim
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, w), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, s, w), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, s, w), lambda g, i: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, w), lambda g, i: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, w), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * s * s * w,
+            bytes_accessed=4 * b * s * w * q.dtype.itemsize,
+            transcendentals=b * num_heads * s * s,
+        ),
+    )(q, k, v)
+
+
+def _flash_merged(q, k, v, *, scale: float, num_heads: int, head_dim: int):
+    """q, k, v: (B, S, H*Dp) -> (B, S, H*Dp)."""
+    b, s, w = q.shape
+    for bq in (256, 128, 64):
+        bq = min(bq, s)
+        if s % bq == 0 and _fits_single_pass(s, w, q.dtype.itemsize, bq):
+            return _flash_merged_single(
+                q, k, v, scale=scale, num_heads=num_heads, head_dim=head_dim, bq=bq
+            )
+    return _flash_merged_online(q, k, v, scale=scale, num_heads=num_heads, head_dim=head_dim)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash(q, k, v, scale):
     b, s, h, d = q.shape
     dp = _padded_dim(d)
-    qt = q.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-    kt = k.transpose(0, 2, 1, 3).reshape(b * h, s, d)
-    vt = v.transpose(0, 2, 1, 3).reshape(b * h, s, d)
     if dp != d:
-        pad = [(0, 0), (0, 0), (0, dp - d)]
-        qt, kt, vt = (jnp.pad(x, pad) for x in (qt, kt, vt))
-    o = _flash_bhsd(qt, kt, vt, scale=scale)
+        pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    # (B, S, H, Dp) -> (B, S, H*Dp): minor-dims merge, no data movement
+    o = _flash_merged(
+        q.reshape(b, s, h * dp), k.reshape(b, s, h * dp), v.reshape(b, s, h * dp),
+        scale=scale, num_heads=h, head_dim=dp,
+    ).reshape(b, s, h, dp)
     if dp != d:
         o = o[..., :d]
-    return o.reshape(b, h, s, d).transpose(0, 2, 1, 3)
+    return o
 
 
 def _xla_ref(q, k, v, scale):

@@ -239,12 +239,6 @@ class StableDiffusion:
             cond_ids = np.repeat(self.tokenize([prompt]), batch_size, axis=0)
         if do_cfg and uncond_ids is None:
             uncond_ids = np.repeat(self.tokenize([uncond_prompt]), batch_size, axis=0)
-        if do_cfg:
-            cond_emb = self.encode_text(cond_ids)
-            uncond_emb = self.encode_text(uncond_ids)
-            context = jnp.concatenate([uncond_emb, cond_emb], axis=0)
-        else:
-            context = self.encode_text(cond_ids)
 
         # --- timestep sequence (static per (steps, strength)) ---
         ts = S.inference_timesteps(schedule, inference_steps, kind=sampler)
@@ -253,6 +247,40 @@ class StableDiffusion:
             ts = S.apply_strength(ts, strength)
         prev_ts = ts - schedule.num_train_timesteps // inference_steps
         table = jnp.asarray(schedule.alphas_hat)
+
+        # --- fast path: the whole txt2img program is ONE device dispatch
+        # (text encode + latents + scan + decode); per-dispatch overhead on
+        # remote TPU transports is ~30 ms, and the modular path below costs
+        # six of them ---
+        if not is_img2img and initial_latents is None and not return_latents:
+            imgs = _txt2img_jit(
+                self.params,
+                jnp.asarray(cond_ids),
+                jnp.asarray(uncond_ids if do_cfg else cond_ids),
+                jnp.asarray(ts),
+                jnp.asarray(prev_ts),
+                table,
+                jnp.asarray(cfg_scale, jnp.float32),
+                jax.random.key(seed),
+                (batch_size, h // 8, w // 8, 4),
+                self.unet_config,
+                self.text_config,
+                self.vae_config,
+                self.dtype,
+                do_cfg,
+                sampler,
+                schedule.prediction_type,
+                float(eta),
+                self.impl,
+            )
+            return np.asarray(imgs)
+
+        if do_cfg:
+            cond_emb = self.encode_text(cond_ids)
+            uncond_emb = self.encode_text(uncond_ids)
+            context = jnp.concatenate([uncond_emb, cond_emb], axis=0)
+        else:
+            context = self.encode_text(cond_ids)
 
         # --- initial latents (reference diffusion.py:202-216) ---
         if is_img2img:
@@ -466,13 +494,36 @@ def _sampler_step(table, lat, t, pt, eps_hat, key, sampler, prediction_type, eta
     )
 
 
-@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13))
-def _denoise_jit(
+@functools.partial(jax.jit, static_argnums=tuple(range(8, 18)))
+def _txt2img_jit(
+    params, cond_ids, uncond_ids, ts, prev_ts, table, cfg_scale, key,
+    lat_shape, ucfg, tcfg, vcfg, dtype, do_cfg, sampler, prediction_type, eta, impl,
+):
+    """Whole txt2img as one program: batched (uncond, cond) text encode ->
+    latents from the key -> scan denoise -> VAE decode -> images in [0, 1]."""
+    key_lat, key_steps = jax.random.split(key)
+    if do_cfg:
+        ids = jnp.concatenate([uncond_ids, cond_ids], axis=0)
+        context = clip_m.text_model_apply(
+            params["text_encoder"], ids, tcfg, impl=impl, dtype=dtype
+        )
+    else:
+        context = clip_m.text_model_apply(
+            params["text_encoder"], cond_ids, tcfg, impl=impl, dtype=dtype
+        )
+    latents = jax.random.normal(key_lat, lat_shape, dtype)
+    latents = _denoise_scan(
+        params["unet"], latents, context.astype(dtype), ts, prev_ts, table,
+        cfg_scale, key_steps, ucfg, do_cfg, sampler, prediction_type, eta, impl,
+    )
+    imgs = vae_m.decode(params["vae"], latents, vcfg, impl=impl)
+    return (imgs.astype(jnp.float32) + 1.0) / 2.0
+
+
+def _denoise_scan(
     unet_params, latents, context, ts, prev_ts, table, cfg_scale, key,
     ucfg, do_cfg, sampler, prediction_type, eta, impl,
 ):
-    """The hot loop (reference diffusion.py:223-236) as one lax.scan."""
-
     def step(carry, xs):
         lat, key = carry
         t, pt = xs
@@ -485,6 +536,18 @@ def _denoise_jit(
 
     (latents, _), _ = jax.lax.scan(step, (latents, key), (ts, prev_ts))
     return latents
+
+
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13))
+def _denoise_jit(
+    unet_params, latents, context, ts, prev_ts, table, cfg_scale, key,
+    ucfg, do_cfg, sampler, prediction_type, eta, impl,
+):
+    """The hot loop (reference diffusion.py:223-236) as one lax.scan."""
+    return _denoise_scan(
+        unet_params, latents, context, ts, prev_ts, table, cfg_scale, key,
+        ucfg, do_cfg, sampler, prediction_type, eta, impl,
+    )
 
 
 @functools.partial(jax.jit, static_argnums=(10, 11, 12, 13, 14))

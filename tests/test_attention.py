@@ -67,3 +67,27 @@ def test_flash_kernel_interpret_matches_xla(rng):
         got = np.asarray(fa.flash_attention(q, k, v))
     want = np.asarray(_xla_sdpa(q, k, v))
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_groupnorm_kernel_interpret_matches_xla(rng):
+    """Fused GN+SiLU Pallas kernel vs the reference XLA path."""
+    import jax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from stable_diffusion_tpu.models import layers
+    from stable_diffusion_tpu.ops.groupnorm import group_norm_silu
+
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 64), dtype=np.float32))
+    params = {
+        "scale": jnp.asarray(rng.standard_normal(64, dtype=np.float32)),
+        "bias": jnp.asarray(rng.standard_normal(64, dtype=np.float32)),
+    }
+    want = layers.silu(layers.group_norm(params, x, num_groups=8, eps=1e-5))
+    with pltpu.force_tpu_interpret_mode():
+        got = group_norm_silu(x=x, params=params, num_groups=8, eps=1e-5, silu=True, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    want2 = layers.group_norm(params, x, num_groups=8, eps=1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        got2 = group_norm_silu(x=x, params=params, num_groups=8, eps=1e-5, silu=False, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=2e-5)
