@@ -1,17 +1,20 @@
-"""Fused GroupNorm(+SiLU) Pallas kernel.
+"""Fused GroupNorm(+SiLU) Pallas kernels.
 
 The UNet applies GroupNorm ~60 times per denoise step (reference ResBlocks
 GN-SiLU-conv x2, unet.py:153-195, and the spatial-transformer GN,
-unet.py:62-91).  The XLA lowering computes statistics in f32 with reshapes
-and materializes intermediates; this kernel keeps the activation in bf16 in
-VMEM and fuses normalize + affine + SiLU into one pass:
+unet.py:62-91).  Implementation is two streaming Pallas kernels, each
+HW-blocked so VMEM use is bounded regardless of activation size (works for
+the 512^2 VAE decoder and 768^2 UNet too):
 
-  * per-channel sums via a ones-row matmul (MXU, f32 accumulation) — no
-    sublane reduction trees;
-  * channel<->group reductions/broadcasts via a tiny (C, G) group-indicator
-    matmul, so the lane dim never needs an awkward C/G reshape;
-  * one grid step per batch element (UNet activations fit VMEM); shapes too
-    large for VMEM (e.g. VAE decoding at 512^2) fall back to the XLA path.
+  1. stats: per-channel sum / sum-of-squares via a ones-row matmul (MXU, f32
+     accumulation into scratch that persists across HW blocks), reduced to
+     per-group mean/rstd through a tiny (C, G) group-indicator matmul, and
+     folded with the affine params into per-channel (scale', shift').
+  2. normalize: y = x * scale' + shift' (+ SiLU), elementwise in the
+     activation dtype — one read + one write of the tensor.
+
+bf16 operands feed the MXU directly (f32 accumulate); no f32 copies of the
+activation are ever materialized.
 """
 
 from __future__ import annotations
@@ -24,47 +27,93 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_VMEM_BUDGET = 12 * 1024 * 1024
 
+def _stats_kernel(x_ref, gamma_ref, beta_ref, out_ref, acc_ref, *,
+                  num_groups: int, eps: float, total_hw: int):
+    j = pl.program_id(1)
+    nblk = pl.num_programs(1)
 
-def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int, eps: float,
-               silu: bool):
-    x = x_ref[0]  # (HW, C) bf16
-    hw, c = x.shape
-    g = num_groups
-    per = c // g
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # group-indicator matrix M[c, g] = 1 iff channel c belongs to group g
-    ci = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
-    gi = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
-    m = (ci // per == gi).astype(jnp.float32)
-
-    ones = jnp.ones((8, hw), jnp.float32)  # 8 sublanes for tiling; row 0 used
+    x = x_ref[0]  # (HWB, C) activation dtype
+    hwb, c = x.shape
+    ones = jnp.ones((8, hwb), x.dtype)
     s1 = jax.lax.dot_general(
         ones, x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )[0:1]  # (1, C)
     s2 = jax.lax.dot_general(
         ones, x * x, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )[0:1]
+    acc_ref[0:1] = acc_ref[0:1] + s1
+    acc_ref[1:2] = acc_ref[1:2] + s2
 
-    n = jnp.float32(hw * per)
-    gmean = (s1 @ m) / n  # (1, G)
-    gvar = (s2 @ m) / n - gmean * gmean
-    inv = jax.lax.rsqrt(gvar + eps)
+    @pl.when(j == nblk - 1)
+    def _finalize():
+        g = num_groups
+        per = c // g
+        ci = jax.lax.broadcasted_iota(jnp.int32, (c, g), 0)
+        gi = jax.lax.broadcasted_iota(jnp.int32, (c, g), 1)
+        m = (ci // per == gi).astype(jnp.float32)  # (C, G)
 
-    mean_c = gmean @ m.T  # (1, C)
-    inv_c = inv @ m.T
+        n = jnp.float32(total_hw * per)
+        gmean = (acc_ref[0:1] @ m) / n  # (1, G)
+        gvar = (acc_ref[1:2] @ m) / n - gmean * gmean
+        inv = jax.lax.rsqrt(gvar + eps)
+        mean_c = gmean @ m.T  # (1, C)
+        inv_c = inv @ m.T
+        scale = gamma_ref[0].astype(jnp.float32) * inv_c[0]
+        shift = beta_ref[0].astype(jnp.float32) - mean_c[0] * scale
+        out_ref[0, 0] = scale
+        out_ref[0, 1] = shift
 
-    scale = scale_ref[0].astype(jnp.float32) * inv_c[0]  # (C,)
-    shift = bias_ref[0].astype(jnp.float32) - mean_c[0] * scale
-    y = x.astype(jnp.float32) * scale[None, :] + shift[None, :]
+
+def _norm_kernel(x_ref, ss_ref, o_ref, *, silu: bool):
+    x = x_ref[0].astype(jnp.float32)
+    y = x * ss_ref[0, 0][None, :] + ss_ref[0, 1][None, :]
     if silu:
         y = y * jax.nn.sigmoid(y)
     o_ref[0] = y.astype(o_ref.dtype)
 
 
-def _fits(hw: int, c: int, itemsize: int) -> bool:
-    return hw * c * (2 * itemsize + 4) < _VMEM_BUDGET
+def _xla_gn_silu(gamma, beta, x, num_groups, eps, silu):
+    from stable_diffusion_tpu.models import layers
+
+    y = layers.group_norm({"scale": gamma, "bias": beta}, x, num_groups=num_groups, eps=eps)
+    return layers.silu(y) if silu else y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gn_silu_kernel_call(gamma, beta, x, num_groups, eps, silu):
+    return _run_kernels(gamma, beta, x, num_groups, eps, silu)
+
+
+def _gn_fwd(gamma, beta, x, num_groups, eps, silu):
+    return _gn_silu_kernel_call(gamma, beta, x, num_groups, eps, silu), (gamma, beta, x)
+
+
+def _gn_bwd(num_groups, eps, silu, res, g):
+    # recompute-based backward through the XLA reference formulation
+    gamma, beta, x = res
+    _, vjp = jax.vjp(
+        lambda a, b, c: _xla_gn_silu(a, b, c, num_groups, eps, silu), gamma, beta, x
+    )
+    return vjp(g)
+
+
+_gn_silu_kernel_call.defvjp(_gn_fwd, _gn_bwd)
+
+
+def _pick_hwb(hw: int, c: int) -> int:
+    # target ~1-2 MB blocks; must divide hw and be a multiple of 8
+    target = max(512 * 1024 // max(c, 1) // 2, 8)
+    hwb = min(hw, max(8, target - target % 8))
+    while hw % hwb:
+        hwb -= 8
+        if hwb <= 0:
+            return 0
+    return hwb
 
 
 def group_norm_silu(
@@ -76,8 +125,7 @@ def group_norm_silu(
     silu: bool = True,
     impl: str = "auto",
 ) -> jax.Array:
-    """Fused GN(+SiLU) over NHWC; falls back to the XLA path off-TPU or when
-    the activation exceeds the VMEM budget."""
+    """Fused GN(+SiLU) over NHWC; XLA path off-TPU / for indivisible shapes."""
     from stable_diffusion_tpu.models import layers
 
     b = x.shape[0]
@@ -88,31 +136,60 @@ def group_norm_silu(
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     use_kernel = impl in ("pallas", "flash") or (impl == "auto" and on_tpu)
-    if not use_kernel or not _fits(hw, c, x.dtype.itemsize) or hw % 8:
+    hwb = _pick_hwb(hw, c)
+    if not use_kernel or hwb == 0 or c % num_groups:
         y = layers.group_norm(params, x, num_groups=num_groups, eps=eps)
         return layers.silu(y) if silu else y
+    return _gn_silu_kernel_call(params["scale"], params["bias"], x, num_groups, eps, silu)
 
+
+def _run_kernels(gamma_in, beta_in, x, num_groups, eps, silu):
+    b = x.shape[0]
+    c = x.shape[-1]
+    hw = 1
+    for d in x.shape[1:-1]:
+        hw *= d
+    hwb = _pick_hwb(hw, c)
+    params = {"scale": gamma_in, "bias": beta_in}
     xf = x.reshape(b, hw, c)
-    kernel = functools.partial(_gn_kernel, num_groups=num_groups, eps=eps, silu=silu)
-    scale = params["scale"].reshape(1, c)
-    bias = params["bias"].reshape(1, c)
-    y = pl.pallas_call(
-        kernel,
-        grid=(b,),
+    gamma = params["scale"].reshape(1, c)
+    beta = params["bias"].reshape(1, c)
+    nblk = hw // hwb
+
+    stats = pl.pallas_call(
+        functools.partial(
+            _stats_kernel, num_groups=num_groups, eps=eps, total_hw=hw
+        ),
+        grid=(b, nblk),
         in_specs=[
-            pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
-            pl.BlockSpec((1, c), lambda i: (0, 0)),
+            pl.BlockSpec((1, hwb, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, hw, c), lambda i: (i, 0, 0)),
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(xf, gamma, beta)
+
+    y = pl.pallas_call(
+        functools.partial(_norm_kernel, silu=silu),
+        grid=(b, nblk),
+        in_specs=[
+            pl.BlockSpec((1, hwb, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, hwb, c), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
+            dimension_semantics=("parallel", "parallel"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=6 * b * hw * c,
+            flops=4 * b * hw * c,
             bytes_accessed=2 * b * hw * c * x.dtype.itemsize,
             transcendentals=b * hw * c if silu else 0,
         ),
-    )(xf, scale, bias)
+    )(xf, stats)
     return y.reshape(x.shape)

@@ -284,6 +284,38 @@ class StableDiffusion:
 
         # --- initial latents (reference diffusion.py:202-216) ---
         if is_img2img:
+            if not return_latents:
+                # fused one-dispatch img2img: encode (or take latents) +
+                # q-sample + scan + decode in a single program
+                if input_latents is None:
+                    img_or_lat = jnp.asarray(preprocess_image(input_image, img_size), self.dtype)
+                    has_image = True
+                else:
+                    img_or_lat = jnp.asarray(input_latents, self.dtype)
+                    has_image = False
+                imgs = _img2img_jit(
+                    self.params,
+                    jnp.asarray(cond_ids),
+                    jnp.asarray(uncond_ids if do_cfg else cond_ids),
+                    img_or_lat,
+                    jnp.asarray(ts),
+                    jnp.asarray(prev_ts),
+                    table,
+                    jnp.asarray(cfg_scale, jnp.float32),
+                    jax.random.key(seed),
+                    lat_shape,
+                    self.unet_config,
+                    self.text_config,
+                    self.vae_config,
+                    self.dtype,
+                    do_cfg,
+                    sampler,
+                    schedule.prediction_type,
+                    float(eta),
+                    self.impl,
+                    has_image,
+                )
+                return np.asarray(imgs)
             if input_latents is None:
                 img = jnp.asarray(preprocess_image(input_image, img_size), self.dtype)
                 enc_noise = jax.random.normal(key_img, (1, *lat_shape[1:]), self.dtype)
@@ -512,6 +544,35 @@ def _txt2img_jit(
             params["text_encoder"], cond_ids, tcfg, impl=impl, dtype=dtype
         )
     latents = jax.random.normal(key_lat, lat_shape, dtype)
+    latents = _denoise_scan(
+        params["unet"], latents, context.astype(dtype), ts, prev_ts, table,
+        cfg_scale, key_steps, ucfg, do_cfg, sampler, prediction_type, eta, impl,
+    )
+    imgs = vae_m.decode(params["vae"], latents, vcfg, impl=impl)
+    return (imgs.astype(jnp.float32) + 1.0) / 2.0
+
+
+@functools.partial(jax.jit, static_argnums=tuple(range(9, 20)))
+def _img2img_jit(
+    params, cond_ids, uncond_ids, img_or_lat, ts, prev_ts, table, cfg_scale, key,
+    lat_shape, ucfg, tcfg, vcfg, dtype, do_cfg, sampler, prediction_type, eta,
+    impl, has_image,
+):
+    """Whole img2img as one program (reference diffusion.py:202-216 path):
+    [VAE encode ->] q-sample at ts[0] -> scan denoise -> decode."""
+    key_img, key_lat, key_steps = jax.random.split(key, 3)
+    if do_cfg:
+        ids = jnp.concatenate([uncond_ids, cond_ids], axis=0)
+        context = clip_m.text_model_apply(params["text_encoder"], ids, tcfg, impl=impl, dtype=dtype)
+    else:
+        context = clip_m.text_model_apply(params["text_encoder"], cond_ids, tcfg, impl=impl, dtype=dtype)
+    if has_image:
+        enc_noise = jax.random.normal(key_img, (1, *lat_shape[1:]), dtype)
+        lat0, _, _ = vae_m.encode(params["vae"], img_or_lat, vcfg, noise=enc_noise, impl=impl)
+    else:
+        lat0 = img_or_lat
+    lat_noise = jax.random.normal(key_lat, lat_shape, dtype)
+    latents = S.forward_process(table, lat0, ts[0], lat_noise)
     latents = _denoise_scan(
         params["unet"], latents, context.astype(dtype), ts, prev_ts, table,
         cfg_scale, key_steps, ucfg, do_cfg, sampler, prediction_type, eta, impl,

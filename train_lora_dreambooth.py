@@ -94,7 +94,14 @@ def train(args, base_params, ucfg, tcfg, vcfg, tokenizer):
     except Exception:
         writer = None
 
-    mesh = pmesh.make_mesh(model=args.mesh_model_axis)
+    # the data axis must divide the DreamBooth batch (2 * batch_size:
+    # instance + prior halves); unused devices are left out of the mesh
+    avail = len(jax.devices()) // args.mesh_model_axis
+    data_axis = math.gcd(2 * args.batch_size, avail)
+    mesh = pmesh.make_mesh(
+        data=data_axis, model=args.mesh_model_axis,
+        devices=jax.devices()[: data_axis * args.mesh_model_axis],
+    )
     base_params = {k: pmesh.shard_params(v, mesh) for k, v in base_params.items()}
 
     train_cfg = T.TrainConfig(
