@@ -176,8 +176,11 @@ def _single_pass_kernel(q_ref, k_hbm, v_hbm, o_ref, kv_ref, sem, *,
         o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
 
 
-# single-pass needs K+V (scratch, single-buffered) + f32 logits row in VMEM
-_VMEM_BUDGET = 13 * 1024 * 1024
+# single-pass needs K+V (scratch, single-buffered) + f32 logits row in VMEM.
+# 15.5M: measured fit with the DMA-scratch design (K/V not double-buffered);
+# bq=128 at (s=4096, w=512) runs ~2x faster than bq=64 (M=128 fills the MXU
+# sublane tile), so the budget is set to admit it.
+_VMEM_BUDGET = int(15.5 * 1024 * 1024)
 
 
 def _fits_single_pass(s: int, w: int, itemsize: int, bq: int) -> bool:

@@ -219,6 +219,7 @@ class StableDiffusion:
         uncond_ids=None,
         input_latents=None,
         initial_latents=None,
+        context=None,
         return_latents: bool = False,
     ) -> np.ndarray:
         """txt2img / img2img (reference diffusion.py:131-257).
@@ -226,7 +227,10 @@ class StableDiffusion:
         Returns images in [0, 1], NHWC float32.  ``cond_ids``/``uncond_ids``
         bypass the tokenizer (for tests); ``input_latents`` bypasses the VAE
         encoder for img2img; ``initial_latents`` injects the txt2img starting
-        noise (parity tests — replaces matching torch RNG streams).
+        noise (parity tests — replaces matching torch RNG streams);
+        ``context`` supplies precomputed conditioning (B[, S], D) directly —
+        the class-conditional "class2img" mode of the demo stack
+        (demo/models/diffusion.py:40-42) passes ClassEncoder embeddings here.
         """
         schedule = self.make_schedule(use_cosine_schedule)
         h, w = img_size
@@ -235,9 +239,16 @@ class StableDiffusion:
         key_img, key_lat, key_steps = jax.random.split(key, 3)
 
         # --- text conditioning (reference diffusion.py:190-200) ---
-        if cond_ids is None:
+        if context is not None:
+            # precomputed conditioning (e.g. ClassEncoder "class2img"):
+            # (B, D) broadcasts to a length-1 token sequence like the
+            # reference's cond.unsqueeze (models/unet/attention.py:77-79)
+            context = jnp.asarray(context, self.dtype)
+            if context.ndim == 2:
+                context = context[:, None, :]
+        if cond_ids is None and context is None:
             cond_ids = np.repeat(self.tokenize([prompt]), batch_size, axis=0)
-        if do_cfg and uncond_ids is None:
+        if do_cfg and uncond_ids is None and context is None:
             uncond_ids = np.repeat(self.tokenize([uncond_prompt]), batch_size, axis=0)
 
         # --- timestep sequence (static per (steps, strength)) ---
@@ -252,7 +263,7 @@ class StableDiffusion:
         # (text encode + latents + scan + decode); per-dispatch overhead on
         # remote TPU transports is ~30 ms, and the modular path below costs
         # six of them ---
-        if not is_img2img and initial_latents is None and not return_latents:
+        if not is_img2img and initial_latents is None and not return_latents and context is None:
             imgs = _txt2img_jit(
                 self.params,
                 jnp.asarray(cond_ids),
@@ -275,16 +286,17 @@ class StableDiffusion:
             )
             return np.asarray(imgs)
 
-        if do_cfg:
-            cond_emb = self.encode_text(cond_ids)
-            uncond_emb = self.encode_text(uncond_ids)
-            context = jnp.concatenate([uncond_emb, cond_emb], axis=0)
-        else:
-            context = self.encode_text(cond_ids)
+        if context is None:
+            if do_cfg:
+                cond_emb = self.encode_text(cond_ids)
+                uncond_emb = self.encode_text(uncond_ids)
+                context = jnp.concatenate([uncond_emb, cond_emb], axis=0)
+            else:
+                context = self.encode_text(cond_ids)
 
         # --- initial latents (reference diffusion.py:202-216) ---
         if is_img2img:
-            if not return_latents:
+            if not return_latents and context is None:
                 # fused one-dispatch img2img: encode (or take latents) +
                 # q-sample + scan + decode in a single program
                 if input_latents is None:

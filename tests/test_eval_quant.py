@@ -158,3 +158,79 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(restored["state"]["lora"]["w"]), np.arange(6.0).reshape(2, 3)
     )
+
+
+def test_evaluation_sweep(tmp_path, rng):
+    """evaluation.generate_fake_imgs over a synthetic COCO annotation file
+    with a tiny pipeline: directory layout + caption files + sweep configs."""
+    import json
+    import sys
+
+    from PIL import Image
+
+    sys.path.insert(0, "/root/repo")
+    import evaluation as ev
+    from tests.test_pipeline import tiny as _  # noqa: F401 (fixture import)
+    from stable_diffusion_tpu.pipeline import StableDiffusion
+    from stable_diffusion_tpu.models import unet as junet, vae as jvae
+
+    ucfg = junet.UNetConfig(
+        block_out_channels=(32, 64, 64, 64), attention_head_dim=(2, 4, 4, 4),
+        cross_attention_dim=24, t_embed_dim=16,
+    )
+    tcfg = jclip.CLIPTextConfig(
+        hidden_size=24, intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=77, vocab_size=64,
+    )
+    vcfg = jvae.VAEConfig(ch_mult=(1, 1, 1, 1), base_channels=32)
+    ks = jax.random.split(jax.random.key(0), 3)
+    pipe = StableDiffusion(
+        params={
+            "unet": junet.init_unet(ks[0], ucfg),
+            "text_encoder": jclip.init_text_model(ks[1], tcfg),
+            "vae": jvae.init_vae(ks[2], vcfg),
+        },
+        unet_config=ucfg, text_config=tcfg, vae_config=vcfg, impl="xla",
+    )
+
+    class FakeTok:
+        def batch_encode_plus(self, prompts, **kw):
+            class R:
+                input_ids = [[1] * 77 for _ in prompts]
+
+            return R()
+
+    pipe.tokenizer = FakeTok()
+
+    # tiny "COCO": 1 image + 1 caption
+    (tmp_path / "imgs").mkdir()
+    Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(
+        tmp_path / "imgs" / "a.jpg"
+    )
+    label = {
+        "images": [{"id": 1, "file_name": "a.jpg"}],
+        "annotations": [{"image_id": 1, "id": 10, "caption": "a cat"}],
+    }
+    lf = tmp_path / "captions.json"
+    lf.write_text(json.dumps(label))
+
+    import argparse
+
+    args = argparse.Namespace(do_cfg=True, strength=1.0, num_inference_steps=2, seed=0)
+    # patch image size down for the tiny pipeline
+    orig_gen = pipe.generate
+
+    def small_gen(**kw):
+        kw["img_size"] = (32, 32)
+        return orig_gen(**kw)
+
+    pipe.generate = small_gen
+    ev.generate_fake_imgs(
+        args, pipe, str(tmp_path / "imgs"), str(lf), str(tmp_path / "out"),
+        num_samples=1,
+        test_configs=[{"sampler": "ddim", "use_cosine_schedule": False}],
+        cfg_scales=[3.0],
+    )
+    assert (tmp_path / "out" / "fake" / "3.0_ddim_linearSchedule" / "1_10.jpg").exists()
+    assert (tmp_path / "out" / "original" / "1_10.jpg").exists()
+    assert (tmp_path / "out" / "1_10.txt").read_text() == "a cat"

@@ -182,3 +182,20 @@ def test_training_loss(tiny, rng):
         lambda a, l: a + float(jnp.sum(jnp.abs(l))), grads, 0.0
     )
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_class_conditional_generation(tiny):
+    """class2img: precomputed ClassEncoder embeddings as conditioning
+    (demo stack model_type='class2img', demo/models/diffusion.py:40-42)."""
+    import jax
+    from stable_diffusion_tpu.models import clip as jclip
+
+    pipe, _, _ = tiny
+    enc = jclip.init_class_encoder(jax.random.key(0), num_classes=5, emb_dim=24)
+    ctx = jclip.class_encoder_apply(enc, jnp.asarray([3]))  # (1, 24)
+    imgs = pipe.generate(
+        prompt="", do_cfg=False, inference_steps=2, sampler="ddim",
+        img_size=(64, 64), context=ctx,
+    )
+    assert imgs.shape == (1, 64, 64, 3)
+    assert np.all(np.isfinite(imgs))
