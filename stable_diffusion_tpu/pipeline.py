@@ -380,15 +380,11 @@ class StableDiffusion:
         key = jax.random.key(seed)
         if cond_ids is None:
             cond_ids = self.tokenize([prompt])
-        context = self.encode_text(cond_ids)
-        if context.shape[0] == 1 and batch_size > 1:
-            context = jnp.repeat(context, batch_size, axis=0)
-        latents = jax.random.normal(key, lat_shape, self.dtype)
-        imgs = _one_step_jit(
-            self.params["unet"], self.params["vae"], latents, context.astype(self.dtype),
-            self.unet_config, self.vae_config, self.impl,
+        imgs = _one_step_full_jit(
+            self.params, jnp.asarray(cond_ids), key, lat_shape, batch_size,
+            self.unet_config, self.text_config, self.vae_config, self.impl, self.dtype,
         )
-        return np.asarray((imgs.astype(jnp.float32) + 1.0) / 2.0)
+        return np.asarray(imgs)
 
     def inpaint(
         self,
@@ -431,41 +427,32 @@ class StableDiffusion:
         img = jnp.asarray(preprocess_image(input_image, img_size), self.dtype)
         mask_small = jnp.asarray(preprocess_mask(mask, img_size))  # (1,h/8,w/8,1) bool
 
-        enc_noise = jax.random.normal(k_enc, lat_shape, self.dtype)
-        encoded_img, _, _ = _encode_image_jit(
-            self.params["vae"], img, self.vae_config, enc_noise, self.impl
-        )
-
         ts = S.apply_strength(
             S.inference_timesteps(schedule, inference_steps, kind=sampler), strength
         )
         prev_ts = ts - schedule.num_train_timesteps // inference_steps
         table = jnp.asarray(schedule.alphas_hat)
 
-        lat_noise = jax.random.normal(k_lat, lat_shape, self.dtype)
-        latents = S.forward_process(table, encoded_img, jnp.asarray(ts[0]), lat_noise)
-        noise_features = jax.random.normal(k_mask, lat_shape, self.dtype)
-        latents = jnp.where(mask_small, noise_features, latents)
-
-        latents = _inpaint_denoise_jit(
-            self.params["unet"],
-            latents,
-            encoded_img,
+        imgs = _inpaint_jit(
+            self.params,
+            img,
             mask_small,
             context.astype(self.dtype),
             jnp.asarray(ts),
             jnp.asarray(prev_ts),
             table,
             jnp.asarray(cfg_scale, jnp.float32),
-            k_steps,
+            key,
+            lat_shape,
             self.unet_config,
+            self.vae_config,
+            self.dtype,
             do_cfg,
             sampler,
             schedule.prediction_type,
             self.impl,
         )
-        imgs = _decode_jit(self.params["vae"], latents, self.vae_config, self.impl)
-        out = scale_img(np.asarray(imgs.astype(jnp.float32)), (-1.0, 1.0), (0.0, 255.0), clamp=True)
+        out = scale_img(np.asarray(imgs), (-1.0, 1.0), (0.0, 255.0), clamp=True)
         return out[0].astype(np.uint8)
 
     # ------------------------------------------------------------------
@@ -623,8 +610,29 @@ def _denoise_jit(
     )
 
 
-@functools.partial(jax.jit, static_argnums=(10, 11, 12, 13, 14))
-def _inpaint_denoise_jit(
+@functools.partial(jax.jit, static_argnums=tuple(range(9, 17)))
+def _inpaint_jit(
+    params, img, mask, context, ts, prev_ts, table, cfg_scale, key,
+    lat_shape, ucfg, vcfg, dtype, do_cfg, sampler, prediction_type, impl,
+):
+    """Whole inpaint as one program: VAE encode -> q-sample at ts[0] ->
+    mask-blend noise into the masked region -> blended scan -> decode
+    (reference diffusion.py:344-417).  Returns images in [-1, 1]."""
+    k_enc, k_lat, k_mask, k_steps = jax.random.split(key, 4)
+    enc_noise = jax.random.normal(k_enc, lat_shape, dtype)
+    encoded_img, _, _ = vae_m.encode(params["vae"], img, vcfg, noise=enc_noise, impl=impl)
+    lat_noise = jax.random.normal(k_lat, lat_shape, dtype)
+    latents = S.forward_process(table, encoded_img, ts[0], lat_noise)
+    noise_features = jax.random.normal(k_mask, lat_shape, dtype)
+    latents = jnp.where(mask, noise_features, latents)
+    latents = _inpaint_denoise_scan(
+        params["unet"], latents, encoded_img, mask, context, ts, prev_ts, table,
+        cfg_scale, k_steps, ucfg, do_cfg, sampler, prediction_type, impl,
+    )
+    return vae_m.decode(params["vae"], latents, vcfg, impl=impl).astype(jnp.float32)
+
+
+def _inpaint_denoise_scan(
     unet_params, latents, encoded_img, mask, context, ts, prev_ts, table,
     cfg_scale, key, ucfg, do_cfg, sampler, prediction_type, impl,
 ):
@@ -647,6 +655,11 @@ def _inpaint_denoise_jit(
     return latents
 
 
+_inpaint_denoise_jit = jax.jit(
+    _inpaint_denoise_scan, static_argnums=(10, 11, 12, 13, 14)
+)
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def _one_step_jit(unet_params, vae_params, latents, context, ucfg, vcfg, impl):
     """SwiftBrush: x0 = (z - sigma_T * eps_hat) / alpha_T with
@@ -657,3 +670,20 @@ def _one_step_jit(unet_params, vae_params, latents, context, ucfg, vcfg, impl):
     eps = unet_m.unet_apply(unet_params, latents, t, context, ucfg, impl=impl)
     x0 = (latents - sigma_t * eps) / alpha_t
     return vae_m.decode(vae_params, x0, vcfg, impl=impl)
+
+
+@functools.partial(jax.jit, static_argnums=tuple(range(3, 10)))
+def _one_step_full_jit(params, cond_ids, key, lat_shape, batch_size, ucfg, tcfg,
+                       vcfg, impl, dtype):
+    """SwiftBrush one-step as one program: text encode + latents + UNet +
+    decode (reference diffusion.py:57-129)."""
+    context = clip_m.text_model_apply(
+        params["text_encoder"], cond_ids, tcfg, impl=impl, dtype=dtype
+    )
+    if batch_size > context.shape[0]:
+        context = jnp.repeat(context, batch_size // context.shape[0], axis=0)
+    latents = jax.random.normal(key, lat_shape, dtype)
+    imgs = _one_step_jit(
+        params["unet"], params["vae"], latents, context.astype(dtype), ucfg, vcfg, impl
+    )
+    return (imgs.astype(jnp.float32) + 1.0) / 2.0
