@@ -531,8 +531,11 @@ def _txt2img_jit(
     lat_shape, ucfg, tcfg, vcfg, dtype, do_cfg, sampler, prediction_type, eta, impl,
 ):
     """Whole txt2img as one program: batched (uncond, cond) text encode ->
-    latents from the key -> scan denoise -> VAE decode -> images in [0, 1]."""
-    key_lat, key_steps = jax.random.split(key)
+    latents from the key -> scan denoise -> VAE decode -> images in [0, 1].
+
+    The 3-way key split matches the modular path (generate() with
+    return_latents) draw-for-draw, so both produce identical images."""
+    _, key_lat, key_steps = jax.random.split(key, 3)
     if do_cfg:
         ids = jnp.concatenate([uncond_ids, cond_ids], axis=0)
         context = clip_m.text_model_apply(

@@ -20,8 +20,10 @@ def load(module_name: str):
     """Import a module from the reference tree (e.g. 'models.unet.unet')."""
     if module_name in _loaded:
         return _loaded[module_name]
+    # APPEND (not insert-0): the reference tree has top-level inference.py /
+    # evaluation.py etc. that must not shadow ours for the CLI tests
     if REFERENCE_PATH not in sys.path:
-        sys.path.insert(0, REFERENCE_PATH)
+        sys.path.append(REFERENCE_PATH)
     mod = importlib.import_module(module_name)
     _loaded[module_name] = mod
     return mod

@@ -185,3 +185,59 @@ def test_from_pretrained_pipeline(model_dir):
     )
     assert imgs.shape == (1, 32, 32, 3)
     assert np.all(np.isfinite(imgs))
+
+
+def test_inference_cli_main(model_dir, tmp_path):
+    """Drive inference.py's main() through argv: argparse, from_pretrained,
+    generate, and image files written (reference CLI surface)."""
+    import inference as inf
+
+    out_dir = str(tmp_path / "out")
+    inf.main([
+        "--model_path", str(model_dir),
+        "--tokenizer_dir", str(model_dir / "tokenizer"),
+        "--prompt", "a photo of a cat",
+        "--do_cfg", "--cfg_scale", "3.0",
+        "--sampler", "ddim",
+        "--num_inference_steps", "2",
+        "--img_size", "32",
+        "--n_samples", "1",
+        "--batch_size", "1",
+        "--seed", "7",
+        "--sd_version", "2.1",
+        "--dtype", "float32",
+        "--output_dir", out_dir,
+    ])
+    files = os.listdir(out_dir)
+    assert any(f.endswith(".jpg") for f in files), files
+
+
+def test_fast_path_matches_modular(model_dir):
+    """The fused one-dispatch txt2img program must equal the modular
+    (return_latents + decode) composition bit-for-bit on CPU."""
+    import jax.numpy as jnp
+
+    from stable_diffusion_tpu import pipeline as pl_mod
+    from stable_diffusion_tpu.pipeline import _decode_jit
+    from transformers import CLIPTokenizer
+
+    tokenizer = CLIPTokenizer(
+        str(model_dir / "tokenizer" / "vocab.json"),
+        str(model_dir / "tokenizer" / "merges.txt"),
+    )
+    pipe = pl_mod.StableDiffusion.from_pretrained(
+        str(model_dir), sd_version="2.1", tokenizer=tokenizer
+    )
+    pipe.vae_config = jvae.VAEConfig(ch_mult=(1, 1, 1, 1), base_channels=32)
+    kw = dict(prompt="a cat", uncond_prompt="", do_cfg=True, cfg_scale=3.0,
+              inference_steps=2, sampler="ddim", img_size=(32, 32), seed=9)
+    fast = pipe.generate(**kw)
+    lat = pipe.generate(**kw, return_latents=True)
+    modular = np.asarray(
+        (_decode_jit(pipe.params["vae"], jnp.asarray(lat), pipe.vae_config,
+                     pipe.impl).astype(jnp.float32) + 1.0) / 2.0
+    )
+    # the fused program encodes [uncond; cond] in ONE batched call; the
+    # modular path uses two — XLA fuses them differently, so agreement is to
+    # f32 rounding (~3e-5), not bitwise
+    np.testing.assert_allclose(fast, modular, atol=1e-3)
