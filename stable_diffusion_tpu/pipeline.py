@@ -410,7 +410,6 @@ class StableDiffusion:
         h, w = img_size
         lat_shape = (1, h // 8, w // 8, 4)
         key = jax.random.key(seed)
-        k_enc, k_lat, k_mask, k_steps = jax.random.split(key, 4)
 
         # context = [cond, uncond] — note the order differs from generate()
         # (reference diffusion.py:337-343)
