@@ -73,12 +73,16 @@ def bench_sd15_txt2img(repeats, steps=50, batch=1):
     pipe = build_pipeline("1.5")
     cond = np.zeros((batch, 77), np.int64)
     unc = np.ones((batch, 77), np.int64)
+    # BENCH_DEEPCACHE=k enables the (approximate) DeepCache block-caching
+    # mode; the headline metric stays exact (k=1)
+    deepcache = int(os.environ.get("BENCH_DEEPCACHE", "1"))
 
     def run(seed):
         return pipe.generate(
             prompt="", do_cfg=True, cfg_scale=7.5, inference_steps=steps,
             sampler="ddim", img_size=(512, 512), batch_size=batch,
             cond_ids=cond, uncond_ids=unc, seed=seed,
+            deepcache_interval=deepcache,
         )
 
     dt = _timed(run, repeats)

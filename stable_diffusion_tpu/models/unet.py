@@ -272,6 +272,118 @@ def unet_apply(
 
 
 # ---------------------------------------------------------------------------
+# DeepCache-style split forward (block caching: arXiv 2312.03209 /
+# DeepCache).  The UNet's deep trunk (stages 1..n-1 + bottleneck + all but
+# the last decoder stage) changes slowly across adjacent timesteps; caching
+# it and recomputing only the highest-resolution stage trades a small
+# approximation for skipping ~half the FLOPs on cached steps.  Opt-in via
+# pipeline.generate(deepcache_interval=k).
+# ---------------------------------------------------------------------------
+
+
+def unet_shallow_encoder(params, x, t_embed, cond, cfg: UNetConfig, *, impl="auto"):
+    """conv_in + stage-0 blocks -> (stage0 skips [conv_in, b0, b1], down0)."""
+    heads = cfg.heads_per_stage
+    eps = cfg.norm_eps
+    enc = params["encoder"]
+    h = layers.conv2d(enc["conv_in"], x)
+    skips = [h]
+    stage = enc["down"]["0"]
+    for j in range(cfg.layers_per_block):
+        h = _block_apply(
+            stage["block"][str(j)], h, t_embed, cond,
+            num_heads=heads[0], eps=eps, impl=impl,
+        )
+        skips.append(h)
+    down0 = layers.conv2d(stage["downsample"]["conv"], h, stride=2, padding=1)
+    return skips, down0
+
+
+def unet_deep(params, down0, t_embed, cond, cfg: UNetConfig, *, impl="auto"):
+    """Stages 1..n-1 + bottleneck + decoder stages up to (not including) the
+    last one.  Consumes down0 as its final skip; returns the 64x64-resolution
+    feature entering the last decoder stage."""
+    heads = cfg.heads_per_stage
+    eps = cfg.norm_eps
+    n = cfg.num_stages
+    enc = params["encoder"]
+
+    h = down0
+    skips = [down0]
+    for i in range(1, n):
+        stage = enc["down"][str(i)]
+        for j in range(cfg.layers_per_block):
+            h = _block_apply(
+                stage["block"][str(j)], h, t_embed, cond,
+                num_heads=heads[i], eps=eps, impl=impl,
+            )
+            skips.append(h)
+        if i != n - 1:
+            h = layers.conv2d(stage["downsample"]["conv"], h, stride=2, padding=1)
+            skips.append(h)
+
+    mid = params["bottleneck"]
+    h = resblock_apply(mid["0"], h, t_embed, eps=eps, impl=impl)
+    h = transformer_encoder_apply(mid["1"], h, cond, num_heads=heads[-1], impl=impl)
+    h = resblock_apply(mid["2"], h, t_embed, eps=eps, impl=impl)
+
+    dec = params["decoder"]
+    for u, i in enumerate(reversed(range(1, n))):
+        stage = dec["up"][str(u)]
+        prev_hw = skips[-1].shape[2]
+        for j in range(cfg.layers_per_block + 1):
+            skip = skips.pop()
+            h = jnp.concatenate([h, skip], axis=-1)
+            h = _block_apply(
+                stage["block"][str(j)], h, t_embed, cond,
+                num_heads=heads[i], eps=eps, impl=impl,
+            )
+        if not (skips and skips[-1].shape[2] == prev_hw):
+            h = layers.upsample_nearest_2x(h)
+        h = layers.conv2d(stage["upsample"]["conv"], h)
+    return h
+
+
+def unet_shallow_decoder(params, deep_h, skips, t_embed, cond, cfg: UNetConfig, *, impl="auto"):
+    """Last decoder stage (consumes the stage-0 skips) + output head."""
+    heads = cfg.heads_per_stage
+    eps = cfg.norm_eps
+    n = cfg.num_stages
+    stage = params["decoder"]["up"][str(n - 1)]
+    h = deep_h
+    skips = list(skips)
+    for j in range(cfg.layers_per_block + 1):
+        skip = skips.pop()
+        h = jnp.concatenate([h, skip], axis=-1)
+        h = _block_apply(
+            stage["block"][str(j)], h, t_embed, cond,
+            num_heads=heads[0], eps=eps, impl=impl,
+        )
+    from stable_diffusion_tpu.ops.groupnorm import group_norm_silu
+
+    out = params["output"]
+    h = group_norm_silu(out["0"], h, eps=eps, silu=True, impl=impl)
+    return layers.conv2d(out["2"], h)
+
+
+def unet_apply_split(params, x, timestep, cond, cfg: UNetConfig, *, impl="auto"):
+    """Full forward through the split functions -> (output, deep feature).
+    Composition equals unet_apply exactly (tested)."""
+    t_embed = time_embedding_apply(params["time_embedding"], timestep, cfg, x.dtype)
+    skips, down0 = unet_shallow_encoder(params, x, t_embed, cond, cfg, impl=impl)
+    deep_h = unet_deep(params, down0, t_embed, cond, cfg, impl=impl)
+    out = unet_shallow_decoder(params, deep_h, skips, t_embed, cond, cfg, impl=impl)
+    return out, deep_h
+
+
+def unet_apply_cached(params, x, timestep, cond, deep_h, cfg: UNetConfig, *, impl="auto"):
+    """Cached-step forward: recompute only the shallow stage, reuse deep_h."""
+    t_embed = time_embedding_apply(params["time_embedding"], timestep, cfg, x.dtype)
+    skips, _ = unet_shallow_encoder(params, x, t_embed, cond, cfg, impl=impl)
+    return unet_shallow_decoder(params, deep_h, skips, t_embed, cond, cfg, impl=impl)
+
+
+# ---------------------------------------------------------------------------
 # Init
 # ---------------------------------------------------------------------------
 

@@ -215,6 +215,7 @@ class StableDiffusion:
         eta: float = 0.0,
         seed: int = 0,
         batch_size: int = 1,
+        deepcache_interval: int = 1,
         cond_ids=None,
         uncond_ids=None,
         input_latents=None,
@@ -283,6 +284,7 @@ class StableDiffusion:
                 schedule.prediction_type,
                 float(eta),
                 self.impl,
+                int(deepcache_interval),
             )
             return np.asarray(imgs)
 
@@ -524,10 +526,11 @@ def _sampler_step(table, lat, t, pt, eps_hat, key, sampler, prediction_type, eta
     )
 
 
-@functools.partial(jax.jit, static_argnums=tuple(range(8, 18)))
+@functools.partial(jax.jit, static_argnums=tuple(range(8, 19)))
 def _txt2img_jit(
     params, cond_ids, uncond_ids, ts, prev_ts, table, cfg_scale, key,
     lat_shape, ucfg, tcfg, vcfg, dtype, do_cfg, sampler, prediction_type, eta, impl,
+    deepcache_interval,
 ):
     """Whole txt2img as one program: batched (uncond, cond) text encode ->
     latents from the key -> scan denoise -> VAE decode -> images in [0, 1].
@@ -548,6 +551,7 @@ def _txt2img_jit(
     latents = _denoise_scan(
         params["unet"], latents, context.astype(dtype), ts, prev_ts, table,
         cfg_scale, key_steps, ucfg, do_cfg, sampler, prediction_type, eta, impl,
+        deepcache_interval,
     )
     imgs = vae_m.decode(params["vae"], latents, vcfg, impl=impl)
     return (imgs.astype(jnp.float32) + 1.0) / 2.0
@@ -584,19 +588,55 @@ def _img2img_jit(
 
 def _denoise_scan(
     unet_params, latents, context, ts, prev_ts, table, cfg_scale, key,
-    ucfg, do_cfg, sampler, prediction_type, eta, impl,
+    ucfg, do_cfg, sampler, prediction_type, eta, impl, deepcache_interval=1,
 ):
+    if deepcache_interval <= 1:
+        def step(carry, xs):
+            lat, key = carry
+            t, pt = xs
+            key, sub = jax.random.split(key)
+            model_in = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
+            pred = unet_m.unet_apply(unet_params, model_in, t[None], context, ucfg, impl=impl)
+            eps_hat = _cfg_combine(pred, cfg_scale, "uncond_first") if do_cfg else pred
+            lat = _sampler_step(table, lat, t, pt, eps_hat, sub, sampler, prediction_type, eta)
+            return (lat, key), None
+
+        (latents, _), _ = jax.lax.scan(step, (latents, key), (ts, prev_ts))
+        return latents
+
+    # DeepCache block caching (arXiv 2312.03209): full UNet every k-th step,
+    # shallow-stage-only with the cached deep trunk in between
+    b = latents.shape[0] * (2 if do_cfg else 1)
+    h, w = latents.shape[1], latents.shape[2]
+    deep_ch = ucfg.block_out_channels[1]
+    deep0 = jnp.zeros((b, h, w, deep_ch), latents.dtype)
+
     def step(carry, xs):
-        lat, key = carry
-        t, pt = xs
+        lat, key, deep = carry
+        t, pt, idx = xs
         key, sub = jax.random.split(key)
         model_in = jnp.concatenate([lat, lat], axis=0) if do_cfg else lat
-        pred = unet_m.unet_apply(unet_params, model_in, t[None], context, ucfg, impl=impl)
+
+        def full(_):
+            return unet_m.unet_apply_split(
+                unet_params, model_in, t[None], context, ucfg, impl=impl
+            )
+
+        def cached(d):
+            return (
+                unet_m.unet_apply_cached(
+                    unet_params, model_in, t[None], context, d, ucfg, impl=impl
+                ),
+                d,
+            )
+
+        pred, deep = jax.lax.cond(idx % deepcache_interval == 0, full, cached, deep)
         eps_hat = _cfg_combine(pred, cfg_scale, "uncond_first") if do_cfg else pred
         lat = _sampler_step(table, lat, t, pt, eps_hat, sub, sampler, prediction_type, eta)
-        return (lat, key), None
+        return (lat, key, deep), None
 
-    (latents, _), _ = jax.lax.scan(step, (latents, key), (ts, prev_ts))
+    idxs = jnp.arange(ts.shape[0])
+    (latents, _, _), _ = jax.lax.scan(step, (latents, key, deep0), (ts, prev_ts, idxs))
     return latents
 
 

@@ -199,3 +199,37 @@ def test_class_conditional_generation(tiny):
     )
     assert imgs.shape == (1, 64, 64, 3)
     assert np.all(np.isfinite(imgs))
+
+
+def test_unet_split_equals_full(tiny, rng):
+    """DeepCache split composition must equal unet_apply exactly."""
+    pipe, _, _ = tiny
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 4), dtype=np.float32))
+    t = jnp.asarray([500])
+    cond = jnp.asarray(rng.standard_normal((2, 77, 24), dtype=np.float32))
+    full = junet.unet_apply(pipe.params["unet"], x, t, cond, pipe.unet_config, impl="xla")
+    split_out, deep = junet.unet_apply_split(
+        pipe.params["unet"], x, t, cond, pipe.unet_config, impl="xla"
+    )
+    np.testing.assert_allclose(np.asarray(split_out), np.asarray(full), atol=1e-6)
+    cached = junet.unet_apply_cached(
+        pipe.params["unet"], x, t, cond, deep, pipe.unet_config, impl="xla"
+    )
+    np.testing.assert_allclose(np.asarray(cached), np.asarray(full), atol=1e-6)
+
+
+def test_deepcache_interval(tiny):
+    """deepcache_interval=1 equals baseline; interval=2 runs and is close
+    (the cached steps reuse the previous deep trunk — an approximation)."""
+    pipe, _, _ = tiny
+    kw = dict(prompt="", do_cfg=True, cfg_scale=3.0, inference_steps=4,
+              sampler="ddim", img_size=(64, 64), seed=3,
+              cond_ids=np.zeros((1, 77), np.int64), uncond_ids=np.ones((1, 77), np.int64))
+    base = pipe.generate(**kw)
+    same = pipe.generate(**kw, deepcache_interval=1)
+    np.testing.assert_allclose(base, same, atol=0)
+    cached = pipe.generate(**kw, deepcache_interval=2)
+    assert cached.shape == base.shape
+    assert np.all(np.isfinite(cached))
+    # approximation, not identity — but correlated with the exact result
+    assert float(np.mean(np.abs(cached - base))) < 0.5
