@@ -29,7 +29,7 @@ def _zeros_like_tree(shapes):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
-def build_pipeline(sd_version="1.5", dtype=jnp.bfloat16):
+def build_pipeline(sd_version="1.5", dtype=jnp.bfloat16, int8=False):
     from stable_diffusion_tpu.models import clip as clip_m
     from stable_diffusion_tpu.models import unet as unet_m
     from stable_diffusion_tpu.models import vae as vae_m
@@ -50,7 +50,14 @@ def build_pipeline(sd_version="1.5", dtype=jnp.bfloat16):
         "text_encoder": jax.eval_shape(lambda k: clip_m.init_text_model(k, tcfg, dtype=dtype), k2),
         "vae": jax.eval_shape(lambda k: vae_m.init_vae(k, vcfg, dtype=dtype), k3),
     }
-    params = jax.device_put(_zeros_like_tree(shapes))
+    params = _zeros_like_tree(shapes)
+    if int8:
+        # weight-only int8 UNet linears (BENCH_INT8=1): validates the
+        # quantized path at full scale and measures its perf
+        from stable_diffusion_tpu.utils.quantize_model import quantize_unet
+
+        params["unet"] = quantize_unet(params["unet"])
+    params = jax.device_put(params)
     return StableDiffusion(
         params=params, unet_config=ucfg, text_config=tcfg, vae_config=vcfg,
         scheduler_config={"num_train_timesteps": 1000, "beta_start": 0.00085,
@@ -70,7 +77,7 @@ def _timed(run, repeats):
 
 
 def bench_sd15_txt2img(repeats, steps=50, batch=1):
-    pipe = build_pipeline("1.5")
+    pipe = build_pipeline("1.5", int8=os.environ.get("BENCH_INT8") == "1")
     cond = np.zeros((batch, 77), np.int64)
     unc = np.ones((batch, 77), np.int64)
     # BENCH_DEEPCACHE=k enables the (approximate) DeepCache block-caching

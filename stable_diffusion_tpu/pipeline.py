@@ -164,6 +164,16 @@ class StableDiffusion:
             sd_version=sd_version,
         )
 
+    def shard(self, mesh) -> "StableDiffusion":
+        """Place all params on a ("data", "model") mesh per the TP rules
+        (parallel/mesh.py); generation then runs sharded under GSPMD —
+        batch replicated or dp-sharded by the caller, transformer linears
+        tensor-parallel over "model"."""
+        from stable_diffusion_tpu.parallel import mesh as pmesh
+
+        self.params = {k: pmesh.shard_params(v, mesh) for k, v in self.params.items()}
+        return self
+
     # ------------------------------------------------------------------
     # Schedules
     # ------------------------------------------------------------------
@@ -328,6 +338,7 @@ class StableDiffusion:
                     float(eta),
                     self.impl,
                     has_image,
+                    int(deepcache_interval),
                 )
                 return np.asarray(imgs)
             if input_latents is None:
@@ -557,11 +568,11 @@ def _txt2img_jit(
     return (imgs.astype(jnp.float32) + 1.0) / 2.0
 
 
-@functools.partial(jax.jit, static_argnums=tuple(range(9, 20)))
+@functools.partial(jax.jit, static_argnums=tuple(range(9, 21)))
 def _img2img_jit(
     params, cond_ids, uncond_ids, img_or_lat, ts, prev_ts, table, cfg_scale, key,
     lat_shape, ucfg, tcfg, vcfg, dtype, do_cfg, sampler, prediction_type, eta,
-    impl, has_image,
+    impl, has_image, deepcache_interval,
 ):
     """Whole img2img as one program (reference diffusion.py:202-216 path):
     [VAE encode ->] q-sample at ts[0] -> scan denoise -> decode."""
@@ -581,6 +592,7 @@ def _img2img_jit(
     latents = _denoise_scan(
         params["unet"], latents, context.astype(dtype), ts, prev_ts, table,
         cfg_scale, key_steps, ucfg, do_cfg, sampler, prediction_type, eta, impl,
+        deepcache_interval,
     )
     imgs = vae_m.decode(params["vae"], latents, vcfg, impl=impl)
     return (imgs.astype(jnp.float32) + 1.0) / 2.0
