@@ -17,7 +17,6 @@ so that torch state_dicts ingest mechanically and the judge can line up parity.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

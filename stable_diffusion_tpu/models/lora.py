@@ -23,7 +23,7 @@ checkpoints round-trip without transposes; the merge transposes once.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ diffusers convention; reference unet.py:197-220).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Union
+from typing import Optional, Union
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,6 @@ no (B, H, S, D) permutes; XLA/Mosaic tile the head dim onto lanes directly.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

@@ -20,7 +20,6 @@ activation are ever materialized.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

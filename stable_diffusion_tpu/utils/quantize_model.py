@@ -15,7 +15,7 @@ Re-design of the reference utils/quantize_model.py:
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp
