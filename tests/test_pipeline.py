@@ -233,3 +233,67 @@ def test_deepcache_interval(tiny):
     assert np.all(np.isfinite(cached))
     # approximation, not identity — but correlated with the exact result
     assert float(np.mean(np.abs(cached - base))) < 0.5
+
+
+def test_inpaint_loop_parity(tiny, rng):
+    """The mask-blended inpaint scan vs a manual torch loop implementing the
+    reference's inpaint hot loop (diffusion.py:367-398): CFG order
+    cond + s*(cond - uncond), re-noise of the original with the *predicted*
+    noise, masked blend, DDIM reverse."""
+    from stable_diffusion_tpu.pipeline import _inpaint_denoise_jit
+
+    pipe, m, text = tiny
+    steps, cfg_scale = 3, 4.0
+    dd = ref.load("models.scheduler.ddim")
+    sampler = dd.DDIMSampler()
+    sampler._set_inference_steps(steps)
+
+    lat0 = rng.standard_normal((1, 4, 16, 16), dtype=np.float32)
+    enc0 = rng.standard_normal((1, 4, 16, 16), dtype=np.float32)
+    mask = rng.random((1, 1, 16, 16)) > 0.5  # NCHW bool, True = regenerate
+    cond_ids = rng.integers(0, 100, size=(1, 77)).astype(np.int64)
+    uncond_ids = rng.integers(0, 100, size=(1, 77)).astype(np.int64)
+
+    with torch.no_grad():
+        ctx = text(torch.from_numpy(np.concatenate([cond_ids, uncond_ids]))).numpy()
+
+    lat = torch.from_numpy(lat0)
+    enc = torch.from_numpy(enc0)
+    mask_t = torch.from_numpy(np.broadcast_to(mask, (1, 4, 16, 16)).copy())
+    with torch.no_grad():
+        for timestep in sampler.timesteps:
+            t = timestep.unsqueeze(0)
+            model_in = lat.repeat(2, 1, 1, 1)
+            pred = m(model_in, t, torch.from_numpy(ctx))
+            cond_out, uncond_out = pred.chunk(2)
+            pred = cfg_scale * (cond_out - uncond_out) + cond_out
+            noised_orig, _ = sampler.forward_process(enc, t, pred)
+            lat = torch.where(~mask_t, noised_orig, lat)
+            lat = sampler.reverse_process(lat, t, pred)
+    want = to_nhwc(lat.numpy())
+
+    from stable_diffusion_tpu import schedulers as S
+
+    sched = S.make_schedule()
+    ts = S.inference_timesteps(sched, steps, kind="ddim")
+    prev_ts = ts - 1000 // steps
+    got = np.asarray(
+        _inpaint_denoise_jit(
+            pipe.params["unet"],
+            jnp.asarray(to_nhwc(lat0)),
+            jnp.asarray(to_nhwc(enc0)),
+            jnp.asarray(mask.transpose(0, 2, 3, 1)),
+            jnp.asarray(ctx),
+            jnp.asarray(ts),
+            jnp.asarray(prev_ts),
+            jnp.asarray(sched.alphas_hat),
+            jnp.asarray(cfg_scale, jnp.float32),
+            jax.random.key(0),
+            pipe.unet_config,
+            True,
+            "ddim",
+            "epsilon",
+            "xla",
+        )
+    )
+    np.testing.assert_allclose(got, want, atol=5e-4)
