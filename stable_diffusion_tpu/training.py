@@ -52,10 +52,26 @@ class TrainConfig:
     gradient_checkpointing: bool = False
     train_text_encoder: bool = False
     lora_targets: tuple = lora_m.DEFAULT_UNET_TARGETS
+    # LR schedule over the optimizer-update horizon (reference steps a torch
+    # scheduler per epoch, train_lora_dreambooth.py:242-254)
+    lr_schedule: str = "constant"  # constant | constant_with_warmup | cosine
+    lr_warmup_steps: int = 0
+    lr_total_steps: int = 1000
+    # bnb.AdamW8bit analog: blockwise-int8 Adam moments (optim.adamw_8bit)
+    use_8bit_adam: bool = False
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    tx = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    from stable_diffusion_tpu import optim
+
+    lr = optim.make_lr_schedule(
+        cfg.lr_schedule, cfg.learning_rate,
+        warmup_steps=cfg.lr_warmup_steps, total_steps=cfg.lr_total_steps,
+    )
+    if cfg.use_8bit_adam:
+        tx = optim.adamw_8bit(lr, weight_decay=cfg.weight_decay)
+    else:
+        tx = optax.adamw(lr, weight_decay=cfg.weight_decay)
     if cfg.max_grad_norm:
         tx = optax.chain(optax.clip_by_global_norm(cfg.max_grad_norm), tx)
     if cfg.grad_accum_steps > 1:
@@ -178,6 +194,31 @@ def make_train_step(
         return new_state, {"loss": loss, "grad_norm": optax.global_norm(grads)}
 
     return step_fn
+
+
+def make_eval_step(
+    base_params,
+    *,
+    ucfg: unet_m.UNetConfig,
+    tcfg: clip_m.CLIPTextConfig,
+    vcfg: vae_m.VAEConfig,
+    schedule: S.DiffusionSchedule,
+    train_cfg: TrainConfig,
+    impl: str = "auto",
+):
+    """Jittable (state, batch) -> test loss, no parameter update — the
+    reference's test_step (train_lora_dreambooth.py:129-188)."""
+    table = jnp.asarray(schedule.alphas_hat)
+
+    def eval_fn(state, batch):
+        return dreambooth_loss(
+            state["lora"], base_params, batch,
+            ucfg=ucfg, tcfg=tcfg, vcfg=vcfg, alphas_hat=table,
+            train_cfg=train_cfg, prediction_type=schedule.prediction_type,
+            impl=impl,
+        )
+
+    return eval_fn
 
 
 def sample_batch_noise(key, batch_images, latent_factor: int = 8, num_train_timesteps: int = 1000):

@@ -54,6 +54,12 @@ def build_parser():
     p.add_argument("--sd_version", default="1.5", type=str)
     p.add_argument("--mesh_model_axis", default=1, type=int, help="Tensor-parallel width of the device mesh")
     p.add_argument("--log_dir", default="runs", type=str, help="TensorBoard log dir")
+    p.add_argument("--lr_scheduler", default="constant",
+                   choices=["constant", "constant_with_warmup", "cosine"],
+                   help="LR schedule over the optimizer-update horizon (reference :242-254)")
+    p.add_argument("--lr_warmup_steps", default=0, type=int)
+    p.add_argument("--profile_dir", default="", type=str,
+                   help="Capture an XLA/TPU trace of the first epoch (TensorBoard profile plugin)")
     return p
 
 
@@ -115,6 +121,10 @@ def train(args, base_params, ucfg, tcfg, vcfg, tokenizer):
         # reference trainer targets attention projections (q/k/v/out)
         # (train_lora_dreambooth.py:325-330)
         lora_targets=("q_proj", "k_proj", "v_proj", "out_proj"),
+        lr_schedule=args.lr_scheduler,
+        lr_warmup_steps=args.lr_warmup_steps,
+        lr_total_steps=args.max_train_steps,
+        use_8bit_adam=bool(args.use_8bit_adam),
     )
     schedule = S.make_schedule()
     key = jax.random.key(args.seed or 0)
@@ -130,6 +140,12 @@ def train(args, base_params, ucfg, tcfg, vcfg, tokenizer):
     impl = "flash" if args.use_flash_attn else "auto"
     step_fn = jax.jit(
         T.make_train_step(
+            base_params, ucfg=ucfg, tcfg=tcfg, vcfg=vcfg,
+            schedule=schedule, train_cfg=train_cfg, impl=impl,
+        )
+    )
+    eval_fn = jax.jit(
+        T.make_eval_step(
             base_params, ucfg=ucfg, tcfg=tcfg, vcfg=vcfg,
             schedule=schedule, train_cfg=train_cfg, impl=impl,
         )
@@ -152,37 +168,56 @@ def train(args, base_params, ucfg, tcfg, vcfg, tokenizer):
         jnp.asarray(x), NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
     )
 
-    global_step = 0
-    with mesh:
+    def make_batch(batch_np):
+        nonlocal key
+        key, nk = jax.random.split(key)
+        imgs = batch_np["pixel_values"]
+        t, noise, vnoise = T.sample_batch_noise(nk, imgs)
+        return {
+            "images": dsh(imgs),
+            "input_ids": dsh(batch_np["input_ids"]),
+            "t": dsh(np.asarray(t)),
+            "noise": dsh(np.asarray(noise)),
+            "vae_noise": dsh(np.asarray(vnoise)),
+        }
+
+    from stable_diffusion_tpu.utils.profiling import trace
+
+    # max_train_steps counts OPTIMIZER UPDATES (reference :228-229); with
+    # gradient accumulation one update consumes grad_accum mini-batches
+    micro_steps = 0
+    accum = max(args.gradient_accumulation_steps, 1)
+    with mesh, trace(args.profile_dir or None):
         for epoch in range(start_epoch, start_epoch + epochs):
             losses = []
             t0 = time.time()
             for batch_np in train_dl:
-                key, nk = jax.random.split(key)
-                imgs = batch_np["pixel_values"]
-                t, noise, vnoise = T.sample_batch_noise(nk, imgs)
-                batch = {
-                    "images": dsh(imgs),
-                    "input_ids": dsh(batch_np["input_ids"]),
-                    "t": dsh(np.asarray(t)),
-                    "noise": dsh(np.asarray(noise)),
-                    "vae_noise": dsh(np.asarray(vnoise)),
-                }
-                state, metrics = step_fn(state, batch)
+                state, metrics = step_fn(state, make_batch(batch_np))
                 losses.append(float(metrics["loss"]))
-                global_step += 1
-                if global_step >= args.max_train_steps * args.gradient_accumulation_steps:
+                micro_steps += 1
+                if micro_steps // accum >= args.max_train_steps:
                     break
             mean_loss = float(np.mean(losses)) if losses else float("nan")
-            print(f"epoch {epoch}: loss={mean_loss:.4f} ({time.time()-t0:.1f}s)", flush=True)
+
+            # test pass (reference test_step + Loss/{train,test} scalars,
+            # train_lora_dreambooth.py:129-188, 251-254)
+            test_losses = [float(eval_fn(state, make_batch(b))) for b in test_dl]
+            test_loss = float(np.mean(test_losses)) if test_losses else float("nan")
+
+            print(
+                f"epoch {epoch}: loss={mean_loss:.4f} test_loss={test_loss:.4f} "
+                f"({time.time()-t0:.1f}s)", flush=True,
+            )
             if writer:
-                writer.add_scalars("Loss", {"train": mean_loss}, epoch)
+                writer.add_scalars("Loss", {"train": mean_loss, "test": test_loss}, epoch)
             os.makedirs(args.checkpoint_dir, exist_ok=True)
             path = ckpt.save_train_checkpoint(
                 os.path.join(args.checkpoint_dir, f"epoch-{epoch}"),
                 {"epoch": epoch, "state": state},
             )
             print(f"saved checkpoint: {path}", flush=True)
+            if micro_steps // accum >= args.max_train_steps:
+                break
     if writer:
         writer.close()
     return state
