@@ -12,8 +12,12 @@ Upgrades over the reference:
     CLIPModel safetensors dir passed via --clip_model_dir.  Without it the
     sweep still runs and scores are skipped, matching the reference's
     shipped behavior.
-  * FID stays optional via torchmetrics when importable (reference parity —
-    theirs never runs either).
+  * FID actually runs too (reference evaluation.py:21-31 is commented out):
+    native Frechet distance + feature towers in stable_diffusion_tpu/fid.py.
+    --fid_backbone inception needs --inception_weights (a local torchvision/
+    pytorch-fid state dict; this container has no egress); --fid_backbone
+    clip computes CLIP-FID (arXiv 2203.06026) from --clip_model_dir with no
+    extra weights.
 """
 
 import argparse
@@ -61,7 +65,8 @@ def load_clip_scorer(clip_model_dir: str):
 
 
 def generate_fake_imgs(args, model, original_imgs_dir, label_file, save_dir,
-                       num_samples, test_configs, cfg_scales, scorer=None, writer_fn=None):
+                       num_samples, test_configs, cfg_scales, scorer=None,
+                       writer_fn=None, feature_fn=None):
     from PIL import Image
 
     with open(label_file) as f:
@@ -80,6 +85,7 @@ def generate_fake_imgs(args, model, original_imgs_dir, label_file, save_dir,
     os.makedirs(f"{save_dir}/original", exist_ok=True)
 
     results = {}
+    real_feats = None
     for config in test_configs:
         sampler = config["sampler"]
         cosine = config["use_cosine_schedule"]
@@ -88,6 +94,8 @@ def generate_fake_imgs(args, model, original_imgs_dir, label_file, save_dir,
             tag = f"{cfg_scale}_{sampler}_{'cosine' if cosine else 'linear'}Schedule"
             os.makedirs(f"{save_dir}/fake/{tag}", exist_ok=True)
             scores = []
+            fake_feats = []
+            real_batch = []
             for prompt in random_prompts:
                 meta = prompts_dict[prompt]
                 pil_img = Image.open(
@@ -118,6 +126,26 @@ def generate_fake_imgs(args, model, original_imgs_dir, label_file, save_dir,
                         dtype=np.float32,
                     )[None]
                     scores.append(float(scorer(img224, ids)[0]))
+                if feature_fn is not None:
+                    fake_feats.append(np.asarray(
+                        feature_fn(fake_u8[None].astype(np.float32) / 255.0)
+                    ))
+                    if real_feats is None:
+                        real_batch.append(np.asarray(
+                            feature_fn(np.asarray(pil_img, np.float32)[None] / 255.0)
+                        ))
+            if feature_fn is not None:
+                from stable_diffusion_tpu import fid as fid_m
+
+                if real_feats is None:
+                    real_feats = np.concatenate(real_batch, axis=0)
+                fid_val = fid_m.fid_from_features(
+                    real_feats, np.concatenate(fake_feats, axis=0)
+                )
+                results[f"{tag}/fid"] = fid_val
+                print(f"{tag}: FID={fid_val:.4f}", flush=True)
+                if writer:
+                    writer.add_scalars("FID", {"fid": fid_val}, int(cfg_scale))
             if scores:
                 avg = float(np.mean(scores))
                 results[tag] = avg
@@ -148,6 +176,11 @@ def build_parser():
     parser.add_argument("--num_samples", default=1000, type=int)
     parser.add_argument("--clip_model_dir", default="", type=str,
                         help="HF CLIPModel dir for native CLIP-score (optional)")
+    parser.add_argument("--fid_backbone", default="none",
+                        choices=["none", "inception", "clip"],
+                        help="FID feature tower; 'clip' = CLIP-FID from --clip_model_dir")
+    parser.add_argument("--inception_weights", default="", type=str,
+                        help="Local torchvision/pytorch-fid InceptionV3 state dict")
     parser.add_argument("--seed", default=None, type=int)
     parser.add_argument("--sd_version", default="1.5", type=str)
     return parser
@@ -165,6 +198,14 @@ def main(argv=None):
         args.model_path, sd_version=args.sd_version, tokenizer=tokenizer
     )
     scorer = load_clip_scorer(args.clip_model_dir) if args.clip_model_dir else None
+    feature_fn = None
+    if args.fid_backbone != "none":
+        from stable_diffusion_tpu import fid as fid_m
+
+        feature_fn = fid_m.make_feature_fn(
+            args.fid_backbone, weights_path=args.inception_weights,
+            clip_model_dir=args.clip_model_dir,
+        )
 
     def writer_fn(sampler, cosine):
         try:
@@ -177,7 +218,8 @@ def main(argv=None):
 
     return generate_fake_imgs(
         args, model, args.original_imgs_dir, args.label_file, args.save_dir,
-        args.num_samples, TEST_CONFIGS, CFG_SCALES, scorer=scorer, writer_fn=writer_fn,
+        args.num_samples, TEST_CONFIGS, CFG_SCALES, scorer=scorer,
+        writer_fn=writer_fn, feature_fn=feature_fn,
     )
 
 
