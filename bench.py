@@ -24,6 +24,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Round-1 recorded numbers (BASELINE.md "Measured" table): every non-headline
+# config reports vs_baseline against its OWN previous-round number, so the
+# ratio means "speedup over round 1".  The headline sd15_txt2img config keeps
+# the 1.5 img/s/chip north-star target as its denominator (BASELINE.json).
+NORTH_STAR_IMG_S = 1.5
+ROUND1 = {
+    "sd15_img2img": 1.195,     # img/s, BASELINE.md config 2
+    "sd21_txt2img_768": 0.273, # img/s, config 3
+    "one_step_b32": 10.2,      # img/s, config 5
+    "train_step": 2.69,        # steps/s, config 4
+}
+
 
 def _zeros_like_tree(shapes):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
@@ -97,7 +109,7 @@ def bench_sd15_txt2img(repeats, steps=50, batch=1):
         "metric": "sd15 txt2img 512x512 DDIM-50 CFG7.5 imgs/sec/chip",
         "value": round(batch / dt, 4),
         "unit": "img/s",
-        "vs_baseline": round(batch / dt / 1.5, 4),
+        "vs_baseline": round(batch / dt / NORTH_STAR_IMG_S, 4),
     }
 
 
@@ -121,7 +133,7 @@ def bench_sd15_img2img(repeats):
     return {
         "metric": "sd15 img2img 512x512 DDPM-cosine s0.8 b4 imgs/sec/chip",
         "value": round(batch / dt, 4), "unit": "img/s",
-        "vs_baseline": round(batch / dt / 1.5, 4),
+        "vs_baseline": round(batch / dt / ROUND1["sd15_img2img"], 4),
     }
 
 
@@ -198,7 +210,8 @@ def bench_train_step(repeats):
     dt = (time.perf_counter() - t0) / repeats
     return {
         "metric": "dreambooth-lora train step b4 512x512 steps/sec/chip",
-        "value": round(1 / dt, 4), "unit": "steps/s", "vs_baseline": round(1 / dt, 4),
+        "value": round(1 / dt, 4), "unit": "steps/s",
+        "vs_baseline": round(1 / dt / ROUND1["train_step"], 4),
     }
 
 
@@ -211,15 +224,72 @@ CONFIGS = {
 }
 
 
+def bench_breakdown(repeats):
+    """Reproducible step-time breakdown (BASELINE.md's table, as a command):
+    BENCH_CONFIG=breakdown — times text-encode / denoise-scan / VAE-decode
+    separately via SectionTimer (forced fetch: block_until_ready does not
+    block on remote transports).  JSON value = e2e sum in img/s."""
+    import stable_diffusion_tpu.pipeline as P
+    from stable_diffusion_tpu import schedulers as S
+    from stable_diffusion_tpu.utils.profiling import SectionTimer
+
+    pipe = build_pipeline("1.5")
+    cond = jnp.zeros((1, 77), jnp.int32)
+    unc = jnp.ones((1, 77), jnp.int32)
+    schedule = pipe.make_schedule()
+    ts = S.inference_timesteps(schedule, 50, kind="ddim")
+    prev_ts = ts - schedule.num_train_timesteps // 50
+    table = jnp.asarray(schedule.alphas_hat)
+    timer = SectionTimer()
+
+    def once(timer, seed):
+        with timer.section("text_encode") as out:
+            ctx = P._encode_text_jit(
+                pipe.params["text_encoder"],
+                jnp.concatenate([unc, cond]), pipe.text_config, pipe.dtype, pipe.impl)
+            out["sync"] = ctx
+        lat0 = jax.random.normal(jax.random.key(seed), (1, 64, 64, 4), pipe.dtype)
+        with timer.section("denoise_scan_50") as out:
+            lat = P._denoise_jit(
+                pipe.params["unet"], lat0, ctx.astype(pipe.dtype),
+                jnp.asarray(ts), jnp.asarray(prev_ts), table,
+                jnp.asarray(7.5, jnp.float32), jax.random.key(seed),
+                pipe.unet_config, True, "ddim", "epsilon", 0.0, pipe.impl)
+            out["sync"] = lat
+        with timer.section("vae_decode") as out:
+            img = P._decode_jit(pipe.params["vae"], lat, pipe.vae_config, pipe.impl)
+            out["sync"] = img
+        return img
+
+    once(SectionTimer(), 0)  # warmup/compile (not counted)
+    for i in range(repeats):
+        out = once(timer, i + 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+    print(timer.report(), file=sys.stderr)
+    total = sum(timer.sections.values()) / repeats
+    return {
+        "metric": "sd15 txt2img 512x512 modular-stage breakdown e2e imgs/sec/chip",
+        "value": round(1 / total, 4), "unit": "img/s",
+        "vs_baseline": round(1 / total / NORTH_STAR_IMG_S, 4),
+        "breakdown_ms": {k: round(v / repeats * 1000, 1) for k, v in timer.sections.items()},
+    }
+
+
 def main():
+    from stable_diffusion_tpu.utils.profiling import trace
+
     name = os.environ.get("BENCH_CONFIG", "sd15_txt2img")
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    if name == "sd15_txt2img":
-        steps = int(os.environ.get("BENCH_STEPS", "50"))
-        batch = int(os.environ.get("BENCH_BATCH", "1"))
-        result = bench_sd15_txt2img(repeats, steps=steps, batch=batch)
-    else:
-        result = CONFIGS[name](repeats)
+    # BENCH_PROFILE_DIR=<dir>: capture a TensorBoard/XLA trace of the run
+    with trace(os.environ.get("BENCH_PROFILE_DIR")):
+        if name == "sd15_txt2img":
+            steps = int(os.environ.get("BENCH_STEPS", "50"))
+            batch = int(os.environ.get("BENCH_BATCH", "1"))
+            result = bench_sd15_txt2img(repeats, steps=steps, batch=batch)
+        elif name == "breakdown":
+            result = bench_breakdown(repeats)
+        else:
+            result = CONFIGS[name](repeats)
     print(json.dumps(result))
 
 

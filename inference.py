@@ -82,6 +82,8 @@ def build_parser():
     parser.add_argument("--sd_version", default="1.5", type=str, help="Stable Diffusion Model Version")
     parser.add_argument("--output_dir", default="./output", type=str, help="Where to save images")
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"], type=str)
+    parser.add_argument("--profile_dir", default="", type=str,
+                        help="Capture an XLA/TPU trace of generation (TensorBoard profile plugin)")
     return parser
 
 
@@ -131,7 +133,10 @@ def main(argv=None):
                 model.params["text_encoder"], state["lora"]["text_encoder"]
             )
 
-    return inference(args, model, input_image)
+    from stable_diffusion_tpu.utils.profiling import trace
+
+    with trace(args.profile_dir):
+        return inference(args, model, input_image)
 
 
 if __name__ == "__main__":
