@@ -3,7 +3,10 @@
 Reproduces the reference demo (demo/app.py:11-311) on the TPU pipeline —
 same three tabs, same controls (prompt, uncond prompt, n_samples slider,
 CFG scale / strength / steps / sampler / cosine-schedule accordion), same
-gallery outputs, with gr.Progress wired to the denoise loop.
+gallery outputs.  gr.Progress IS wired to the denoise loop: the pipeline's
+``progress_callback`` chunks the fused scan into short dispatches
+(pipeline.generate/inpaint progress mode), so the bar advances during
+generation like the reference's tqdm loop (demo/models/diffusion.py:55-70).
 
 Differences by design:
   * Loads a diffusers-layout model dir or a single LDM .ckpt via the unified
@@ -65,6 +68,13 @@ def initialize_model(model_path: str, tokenizer_dir: str, sd_version: str = "1.5
     return pipe, tokenizer
 
 
+def _progress_cb(progress):
+    """gr.Progress (or None) -> pipeline progress_callback."""
+    if progress is None:
+        return None
+    return lambda done, total: progress(done / total, desc=f"denoising {done}/{total}")
+
+
 def _to_pil(imgs01):
     from PIL import Image
 
@@ -81,7 +91,7 @@ def txt2img(prompt, uncond_prompt, n_samples, use_cosine, cfg_scale, strength,
         cfg_scale=float(cfg_scale), strength=float(strength),
         inference_steps=int(inference_steps), sampler=sampler,
         use_cosine_schedule=bool(use_cosine), batch_size=int(n_samples),
-        img_size=(512, 512),
+        img_size=(512, 512), progress_callback=_progress_cb(progress),
     )
     return _to_pil(imgs)
 
@@ -94,7 +104,7 @@ def img2img(input_image, prompt, uncond_prompt, n_samples, use_cosine, cfg_scale
         do_cfg=True, cfg_scale=float(cfg_scale), strength=float(strength),
         inference_steps=int(inference_steps), sampler=sampler,
         use_cosine_schedule=bool(use_cosine), batch_size=int(n_samples),
-        img_size=(512, 512),
+        img_size=(512, 512), progress_callback=_progress_cb(progress),
     )
     return _to_pil(imgs)
 
@@ -117,6 +127,7 @@ def inpaint(input_images, prompt, uncond_prompt, n_samples, use_cosine, cfg_scal
             do_cfg=True, cfg_scale=float(cfg_scale), strength=float(strength),
             inference_steps=int(inference_steps), sampler=sampler,
             use_cosine_schedule=bool(use_cosine), img_size=(512, 512), seed=i,
+            progress_callback=_progress_cb(progress),
         )
         outs.append(Image.fromarray(out))
     return outs
@@ -129,6 +140,14 @@ def build_demo():
         raise ImportError("gradio is not installed; `pip install gradio` to run the demo") from e
 
     sampler_choices = [("DDPM", "ddpm"), ("DDIM", "ddim")]
+
+    def with_progress(fn):
+        # gradio injects a live gr.Progress for any param defaulting to one
+        def wrapped(*a, progress=gr.Progress()):
+            return fn(*a, progress=progress)
+        return wrapped
+
+    txt2img_h, img2img_h, inpaint_h = map(with_progress, (txt2img, img2img, inpaint))
 
     def controls(open_accordion):
         with gr.Accordion(label="Advanced settings", open=open_accordion):
@@ -154,7 +173,7 @@ def build_demo():
                 btn = gr.Button(value="Generate")
             with gr.Row():
                 gallery = gr.Gallery(label="Generated images", show_label=False)
-            btn.click(fn=txt2img, inputs=[prompt, uncond, n, cos, cfg_s, stren, steps, samp],
+            btn.click(fn=txt2img_h, inputs=[prompt, uncond, n, cos, cfg_s, stren, steps, samp],
                       outputs=[gallery])
         with gr.Tab("img2img"):
             with gr.Row(equal_height=True):
@@ -169,7 +188,7 @@ def build_demo():
                 btn = gr.Button(value="Generate")
             with gr.Row():
                 gallery = gr.Gallery(label="Generated images", show_label=False)
-            btn.click(fn=img2img, inputs=[img_in, prompt, uncond, n, cos, cfg_s, stren, steps, samp],
+            btn.click(fn=img2img_h, inputs=[img_in, prompt, uncond, n, cos, cfg_s, stren, steps, samp],
                       outputs=[gallery])
         with gr.Tab("inpaint"):
             with gr.Row():
@@ -183,7 +202,7 @@ def build_demo():
                 btn = gr.Button(value="Generate")
             with gr.Row():
                 gallery = gr.Gallery(label="Generated images", show_label=False)
-            btn.click(fn=inpaint, inputs=[img_mask, prompt, uncond, n, cos, cfg_s, stren, steps, samp],
+            btn.click(fn=inpaint_h, inputs=[img_mask, prompt, uncond, n, cos, cfg_s, stren, steps, samp],
                       outputs=[gallery])
     return demo
 

@@ -232,6 +232,8 @@ class StableDiffusion:
         initial_latents=None,
         context=None,
         return_latents: bool = False,
+        progress_callback=None,
+        progress_every: int = 5,
     ) -> np.ndarray:
         """txt2img / img2img (reference diffusion.py:131-257).
 
@@ -274,7 +276,8 @@ class StableDiffusion:
         # (text encode + latents + scan + decode); per-dispatch overhead on
         # remote TPU transports is ~30 ms, and the modular path below costs
         # six of them ---
-        if not is_img2img and initial_latents is None and not return_latents and context is None:
+        if (not is_img2img and initial_latents is None and not return_latents
+                and context is None and progress_callback is None):
             imgs = _txt2img_jit(
                 self.params,
                 jnp.asarray(cond_ids),
@@ -298,6 +301,43 @@ class StableDiffusion:
             )
             return np.asarray(imgs)
 
+        # --- fused one-dispatch img2img: encode (or take latents) +
+        # q-sample + scan + decode in a single program.  Checked BEFORE
+        # context materialization so generate(input_latents=...) actually
+        # takes this path (round-1 bug: the guard sat below the encode) ---
+        if (is_img2img and not return_latents and context is None
+                and progress_callback is None):
+            if input_latents is None:
+                img_or_lat = jnp.asarray(preprocess_image(input_image, img_size), self.dtype)
+                has_image = True
+            else:
+                img_or_lat = jnp.asarray(input_latents, self.dtype)
+                has_image = False
+            imgs = _img2img_jit(
+                self.params,
+                jnp.asarray(cond_ids),
+                jnp.asarray(uncond_ids if do_cfg else cond_ids),
+                img_or_lat,
+                jnp.asarray(ts),
+                jnp.asarray(prev_ts),
+                table,
+                jnp.asarray(cfg_scale, jnp.float32),
+                jax.random.key(seed),
+                lat_shape,
+                self.unet_config,
+                self.text_config,
+                self.vae_config,
+                self.dtype,
+                do_cfg,
+                sampler,
+                schedule.prediction_type,
+                float(eta),
+                self.impl,
+                has_image,
+                int(deepcache_interval),
+            )
+            return np.asarray(imgs)
+
         if context is None:
             if do_cfg:
                 cond_emb = self.encode_text(cond_ids)
@@ -308,39 +348,6 @@ class StableDiffusion:
 
         # --- initial latents (reference diffusion.py:202-216) ---
         if is_img2img:
-            if not return_latents and context is None:
-                # fused one-dispatch img2img: encode (or take latents) +
-                # q-sample + scan + decode in a single program
-                if input_latents is None:
-                    img_or_lat = jnp.asarray(preprocess_image(input_image, img_size), self.dtype)
-                    has_image = True
-                else:
-                    img_or_lat = jnp.asarray(input_latents, self.dtype)
-                    has_image = False
-                imgs = _img2img_jit(
-                    self.params,
-                    jnp.asarray(cond_ids),
-                    jnp.asarray(uncond_ids if do_cfg else cond_ids),
-                    img_or_lat,
-                    jnp.asarray(ts),
-                    jnp.asarray(prev_ts),
-                    table,
-                    jnp.asarray(cfg_scale, jnp.float32),
-                    jax.random.key(seed),
-                    lat_shape,
-                    self.unet_config,
-                    self.text_config,
-                    self.vae_config,
-                    self.dtype,
-                    do_cfg,
-                    sampler,
-                    schedule.prediction_type,
-                    float(eta),
-                    self.impl,
-                    has_image,
-                    int(deepcache_interval),
-                )
-                return np.asarray(imgs)
             if input_latents is None:
                 img = jnp.asarray(preprocess_image(input_image, img_size), self.dtype)
                 enc_noise = jax.random.normal(key_img, (1, *lat_shape[1:]), self.dtype)
@@ -357,22 +364,55 @@ class StableDiffusion:
             latents = jax.random.normal(key_lat, lat_shape, self.dtype)
 
         # --- jitted scan denoise + decode ---
-        latents = _denoise_jit(
-            self.params["unet"],
-            latents,
-            context.astype(self.dtype),
-            jnp.asarray(ts),
-            jnp.asarray(prev_ts),
+        denoise_args = (
             table,
             jnp.asarray(cfg_scale, jnp.float32),
-            key_steps,
-            self.unet_config,
-            do_cfg,
-            sampler,
-            schedule.prediction_type,
-            float(eta),
-            self.impl,
         )
+        if progress_callback is None:
+            latents = _denoise_jit(
+                self.params["unet"],
+                latents,
+                context.astype(self.dtype),
+                jnp.asarray(ts),
+                jnp.asarray(prev_ts),
+                table,
+                jnp.asarray(cfg_scale, jnp.float32),
+                key_steps,
+                self.unet_config,
+                do_cfg,
+                sampler,
+                schedule.prediction_type,
+                float(eta),
+                self.impl,
+            )
+        else:
+            # progress mode (reference demo/models/diffusion.py:55-70 tqdm/
+            # gr.Progress): the scan is chunked into segments of
+            # ``progress_every`` steps — one dispatch per segment, callback
+            # after each.  DDIM eta=0 matches the single-scan path exactly;
+            # stochastic samplers draw a fresh key per segment.
+            n = len(ts)
+            c = max(1, int(progress_every))
+            seg_keys = jax.random.split(key_steps, (n + c - 1) // c)
+            progress_callback(0, n)
+            for i in range(0, n, c):
+                latents = _denoise_jit(
+                    self.params["unet"],
+                    latents,
+                    context.astype(self.dtype),
+                    jnp.asarray(ts[i:i + c]),
+                    jnp.asarray(prev_ts[i:i + c]),
+                    table,
+                    jnp.asarray(cfg_scale, jnp.float32),
+                    seg_keys[i // c],
+                    self.unet_config,
+                    do_cfg,
+                    sampler,
+                    schedule.prediction_type,
+                    float(eta),
+                    self.impl,
+                )
+                progress_callback(min(i + c, n), n)
         if return_latents:
             return np.asarray(latents)
         imgs = _decode_jit(self.params["vae"], latents, self.vae_config, self.impl)
@@ -416,6 +456,8 @@ class StableDiffusion:
         seed: int = 0,
         cond_ids=None,
         uncond_ids=None,
+        progress_callback=None,
+        progress_every: int = 5,
     ) -> np.ndarray:
         """Mask-blended inpainting (reference diffusion.py:260-417 /
         demo/models/diffusion.py:201-358).  Returns (H, W, 3) uint8."""
@@ -445,25 +487,67 @@ class StableDiffusion:
         prev_ts = ts - schedule.num_train_timesteps // inference_steps
         table = jnp.asarray(schedule.alphas_hat)
 
-        imgs = _inpaint_jit(
-            self.params,
-            img,
-            mask_small,
-            context.astype(self.dtype),
-            jnp.asarray(ts),
-            jnp.asarray(prev_ts),
-            table,
-            jnp.asarray(cfg_scale, jnp.float32),
-            key,
-            lat_shape,
-            self.unet_config,
-            self.vae_config,
-            self.dtype,
-            do_cfg,
-            sampler,
-            schedule.prediction_type,
-            self.impl,
-        )
+        if progress_callback is None:
+            imgs = _inpaint_jit(
+                self.params,
+                img,
+                mask_small,
+                context.astype(self.dtype),
+                jnp.asarray(ts),
+                jnp.asarray(prev_ts),
+                table,
+                jnp.asarray(cfg_scale, jnp.float32),
+                key,
+                lat_shape,
+                self.unet_config,
+                self.vae_config,
+                self.dtype,
+                do_cfg,
+                sampler,
+                schedule.prediction_type,
+                self.impl,
+            )
+        else:
+            # progress mode: same draws as _inpaint_jit's prologue, denoise
+            # chunked into ``progress_every``-step dispatches with a callback
+            # after each (reference demo gr.Progress, demo/app.py:137-185)
+            k_enc, k_lat, k_mask, k_steps = jax.random.split(key, 4)
+            enc_noise = jax.random.normal(k_enc, lat_shape, self.dtype)
+            encoded_img, _, _ = _encode_image_jit(
+                self.params["vae"], img, self.vae_config, enc_noise, self.impl
+            )
+            lat_noise = jax.random.normal(k_lat, lat_shape, self.dtype)
+            latents = S.forward_process(
+                table, encoded_img, jnp.asarray(ts[0]), lat_noise
+            )
+            noise_features = jax.random.normal(k_mask, lat_shape, self.dtype)
+            latents = jnp.where(mask_small, noise_features, latents)
+            n = len(ts)
+            c = max(1, int(progress_every))
+            seg_keys = jax.random.split(k_steps, (n + c - 1) // c)
+            progress_callback(0, n)
+            for i in range(0, n, c):
+                latents = _inpaint_denoise_jit(
+                    self.params["unet"],
+                    latents,
+                    encoded_img,
+                    mask_small,
+                    context.astype(self.dtype),
+                    jnp.asarray(ts[i:i + c]),
+                    jnp.asarray(prev_ts[i:i + c]),
+                    table,
+                    jnp.asarray(cfg_scale, jnp.float32),
+                    seg_keys[i // c],
+                    self.unet_config,
+                    do_cfg,
+                    sampler,
+                    schedule.prediction_type,
+                    self.impl,
+                )
+                progress_callback(min(i + c, n), n)
+            imgs = _decode_jit(
+                self.params["vae"], latents, self.vae_config, self.impl
+            ).astype(jnp.float32)
         out = scale_img(np.asarray(imgs), (-1.0, 1.0), (0.0, 255.0), clamp=True)
         return out[0].astype(np.uint8)
 
