@@ -41,7 +41,7 @@ def _zeros_like_tree(shapes):
     return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
 
-def build_pipeline(sd_version="1.5", dtype=jnp.bfloat16, int8=False):
+def build_pipeline(sd_version="1.5", dtype=jnp.bfloat16, int8=""):
     from stable_diffusion_tpu.models import clip as clip_m
     from stable_diffusion_tpu.models import unet as unet_m
     from stable_diffusion_tpu.models import vae as vae_m
@@ -64,11 +64,15 @@ def build_pipeline(sd_version="1.5", dtype=jnp.bfloat16, int8=False):
     }
     params = _zeros_like_tree(shapes)
     if int8:
-        # weight-only int8 UNet linears (BENCH_INT8=1): validates the
-        # quantized path at full scale and measures its perf
-        from stable_diffusion_tpu.utils.quantize_model import quantize_unet
+        # BENCH_INT8=1: weight-only int8 UNet linears.
+        # BENCH_INT8=static: W8A8 — activations also int8 with static scales
+        # (the MXU double-rate path); scale values don't affect perf.
+        from stable_diffusion_tpu.utils.quantize_model import (
+            attach_act_scales, quantize_unet)
 
         params["unet"] = quantize_unet(params["unet"])
+        if int8 == "static":
+            params["unet"] = attach_act_scales(params["unet"])
     params = jax.device_put(params)
     return StableDiffusion(
         params=params, unet_config=ucfg, text_config=tcfg, vae_config=vcfg,
@@ -89,7 +93,7 @@ def _timed(run, repeats):
 
 
 def bench_sd15_txt2img(repeats, steps=50, batch=1):
-    pipe = build_pipeline("1.5", int8=os.environ.get("BENCH_INT8") == "1")
+    pipe = build_pipeline("1.5", int8=os.environ.get("BENCH_INT8", ""))
     cond = np.zeros((batch, 77), np.int64)
     unc = np.ones((batch, 77), np.int64)
     # BENCH_DEEPCACHE=k enables the (approximate) DeepCache block-caching
@@ -154,7 +158,7 @@ def bench_sd21_txt2img_768(repeats):
     return {
         "metric": "sd21 txt2img 768x768 DDIM-50 v-pred imgs/sec/chip",
         "value": round(1 / dt, 4), "unit": "img/s",
-        "vs_baseline": round(1 / dt / 1.5, 4),
+        "vs_baseline": round(1 / dt / ROUND1["sd21_txt2img_768"], 4),
     }
 
 
@@ -172,7 +176,7 @@ def bench_one_step_b32(repeats):
     return {
         "metric": "swiftbrush one-step 512x512 b32 imgs/sec/chip",
         "value": round(32 / dt, 4), "unit": "img/s",
-        "vs_baseline": round(32 / dt / 1.5, 4),
+        "vs_baseline": round(32 / dt / ROUND1["one_step_b32"], 4),
     }
 
 

@@ -39,11 +39,34 @@ def multihead_attention(
     b, sq, e = x.shape
     d = e // num_heads
 
-    if cond is None and "kernel" in params[qn]:
+    if (cond is None and "kernel" in params[qn]
+            and not getattr(layers, "FORCE_UNFUSED_QKV", False)):
         # fused QKV: one (E, 3E) matmul instead of three — wider N keeps the
         # MXU busier and reads the activation once
         wq, wk, wv = (params[n]["kernel"].astype(x.dtype) for n in (qn, kn, vn))
         qkv = jnp.dot(x, jnp.concatenate([wq, wk, wv], axis=1), preferred_element_type=x.dtype)
+        if "bias" in params[qn]:
+            qkv = qkv + jnp.concatenate(
+                [params[n]["bias"].astype(x.dtype) for n in (qn, kn, vn)]
+            )
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, sq, num_heads, d)
+        k = k.reshape(b, sq, num_heads, d)
+        v = v.reshape(b, sq, num_heads, d)
+    elif (cond is None and "kernel_q" in params[qn] and "act_scale" in params[qn]
+            and not getattr(layers, "FORCE_UNFUSED_QKV", False)):
+        # fused static-W8A8 QKV: q/k/v consume the same x, so they share one
+        # act_scale; the int8 kernels and per-channel scales concatenate
+        s_x = params[qn]["act_scale"].astype(jnp.float32) / 127.0
+        x_q = jnp.round(
+            jnp.clip(x.astype(jnp.float32) / s_x, -127.0, 127.0)
+        ).astype(jnp.int8)
+        w_q = jnp.concatenate([params[n]["kernel_q"] for n in (qn, kn, vn)], axis=1)
+        w_s = jnp.concatenate([params[n]["kernel_scale"] for n in (qn, kn, vn)], axis=1)
+        acc = jax.lax.dot_general(
+            x_q, w_q, (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        qkv = (acc.astype(jnp.float32) * (s_x * w_s)).astype(x.dtype)
         if "bias" in params[qn]:
             qkv = qkv + jnp.concatenate(
                 [params[n]["bias"].astype(x.dtype) for n in (qn, kn, vn)]

@@ -26,17 +26,40 @@ import numpy as np
 # Dense / conv
 # ---------------------------------------------------------------------------
 
+# Calibration hook (utils/quantize_model.calibrate_static_activations): when
+# True, multihead_attention skips its fused-QKV fast paths so every
+# projection routes through ``linear`` and gets its activation range recorded.
+FORCE_UNFUSED_QKV = False
+
 
 def linear(params, x: jax.Array) -> jax.Array:
     """x @ kernel + bias.  kernel: (in, out).
 
-    Quantized form: {"kernel_q": int8 (in, out), "kernel_scale": (1, out)}
-    (ops/quantize.py) — the dequant convert+mul fuses into the dot."""
-    if "kernel_q" in params:
-        kernel = (params["kernel_q"].astype(jnp.float32) * params["kernel_scale"]).astype(x.dtype)
+    Weight-only int8 form: {"kernel_q": int8 (in, out), "kernel_scale":
+    (1, out)} (ops/quantize.py) — the dequant convert+mul fuses into the dot.
+
+    Static W8A8 form adds "act_scale" (scalar activation absmax recorded by
+    calibration, utils/quantize_model.py): the input quantizes to int8 with
+    that static scale and the dot runs int8 x int8 -> int32 — on TPU this is
+    the MXU's double-rate int8 path (reference static-PTQ direction,
+    utils/quantize_model.py:21-34)."""
+    if "kernel_q" in params and "act_scale" in params:
+        s_x = params["act_scale"].astype(jnp.float32) / 127.0
+        x_q = jnp.round(
+            jnp.clip(x.astype(jnp.float32) / s_x, -127.0, 127.0)
+        ).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x_q, params["kernel_q"],
+            (((x_q.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = (acc.astype(jnp.float32) * (s_x * params["kernel_scale"])).astype(x.dtype)
     else:
-        kernel = params["kernel"].astype(x.dtype)
-    y = jnp.dot(x, kernel, preferred_element_type=x.dtype)
+        if "kernel_q" in params:
+            kernel = (params["kernel_q"].astype(jnp.float32) * params["kernel_scale"]).astype(x.dtype)
+        else:
+            kernel = params["kernel"].astype(x.dtype)
+        y = jnp.dot(x, kernel, preferred_element_type=x.dtype)
     if "bias" in params:
         y = y + params["bias"].astype(x.dtype)
     return y

@@ -89,6 +89,97 @@ def quantization_error(params, qparams) -> Dict[str, float]:
     return errs
 
 
+def calibrate_static_activations(apply_fn: Callable, params, batches):
+    """Record per-LINEAR-LAYER activation absmax by running ``apply_fn``
+    EAGERLY (un-jitted) over the calibration batches, then return a copy of
+    ``params`` with an "act_scale" leaf attached to every linear that was
+    exercised.  Layers are identified by param-subtree object identity, so
+    no name plumbing is needed.
+
+    This is the consumer of the calibration sweep: quantize_params() on the
+    result yields a static-PTQ (W8A8) model — the realized version of the
+    reference's prepare/convert skeleton (utils/quantize_model.py:21-34)."""
+    from stable_diffusion_tpu.models import layers as L
+
+    records: Dict[int, float] = {}
+    orig = L.linear
+
+    def capturing(p, x):
+        if "kernel" in p or "kernel_q" in p:
+            a = float(jnp.max(jnp.abs(x.astype(jnp.float32))))
+            key = id(p)
+            records[key] = max(records.get(key, 0.0), a)
+        return orig(p, x)
+
+    L.linear = capturing
+    L.FORCE_UNFUSED_QKV = True  # route fused QKV through linear for capture
+    try:
+        for batch in batches:
+            apply_fn(params, batch)
+    finally:
+        L.linear = orig
+        L.FORCE_UNFUSED_QKV = False
+
+    def attach(tree):
+        if isinstance(tree, dict):
+            if id(tree) in records and ("kernel" in tree or "kernel_q" in tree):
+                out = dict(tree)
+                out["act_scale"] = jnp.asarray(records[id(tree)], jnp.float32)
+                return out
+            return {k: attach(v) for k, v in tree.items()}
+        return tree
+
+    return attach(params)
+
+
+def attach_act_scales(params, scale: float = 1.0):
+    """Attach a fixed "act_scale" to every rank-2 linear (no calibration).
+
+    Use cases: perf benchmarking of the W8A8 path with random weights (the
+    scale value does not affect speed), or as a conservative default before
+    a calibration sweep refines the ranges."""
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            k = tree.get("kernel", tree.get("kernel_q"))
+            if k is not None and getattr(k, "ndim", 0) == 2:
+                out = dict(tree)
+                out["act_scale"] = jnp.asarray(scale, jnp.float32)
+                return out
+            return {k2: walk(v) for k2, v in tree.items()}
+        return tree
+
+    return walk(params)
+
+
+def quantize_unet_static(params, ucfg, sample_batches, *, impl="xla"):
+    """Static W8A8 UNet: calibrate per-linear activation ranges over
+    (x, t, cond) sample batches, then int8-quantize the linear kernels.
+    The reference's calibrate_unet sweep (:928-947) is the analog corpus."""
+    from stable_diffusion_tpu.models import unet as unet_m
+
+    calibrated = calibrate_static_activations(
+        lambda p, b: unet_m.unet_apply(p, b[0], b[1], b[2], ucfg, impl=impl),
+        params,
+        sample_batches,
+    )
+    return quantize_params(calibrated)
+
+
+def quantize_text_encoder_static(params, tcfg, ids_batches, *, impl="xla"):
+    """Static W8A8 text encoder: calibrate activation ranges over the token
+    batches, then quantize the linear kernels.  Every linear the forward
+    touches computes int8 x int8 -> int32 (TPU MXU double rate)."""
+    from stable_diffusion_tpu.models import clip as clip_m
+
+    calibrated = calibrate_static_activations(
+        lambda p, ids: clip_m.text_model_apply(p, jnp.asarray(ids), tcfg, impl=impl),
+        params,
+        ids_batches,
+    )
+    return quantize_params(calibrated)
+
+
 def calibrate_cond_encoder(
     apply_fn: Callable,
     params,

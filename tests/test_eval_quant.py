@@ -234,3 +234,55 @@ def test_evaluation_sweep(tmp_path, rng):
     assert (tmp_path / "out" / "fake" / "3.0_ddim_linearSchedule" / "1_10.jpg").exists()
     assert (tmp_path / "out" / "original" / "1_10.jpg").exists()
     assert (tmp_path / "out" / "1_10.txt").read_text() == "a cat"
+
+
+def test_static_w8a8_linear_exactness(rng):
+    """The W8A8 branch of layers.linear equals the manual int8 simulation."""
+    from stable_diffusion_tpu.models import layers as L
+    from stable_diffusion_tpu.ops.quantize import quantize_tensor
+
+    w = jnp.asarray(rng.standard_normal((16, 8), dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(8, dtype=np.float32))
+    x = jnp.asarray(rng.standard_normal((4, 16), dtype=np.float32))
+    q, scale = quantize_tensor(w, axis=0)
+    amax = float(np.max(np.abs(np.asarray(x))))
+    p = {"kernel_q": q, "kernel_scale": scale,
+         "act_scale": jnp.asarray(amax, jnp.float32), "bias": b}
+    got = np.asarray(L.linear(p, x))
+
+    s_x = amax / 127.0
+    x_q = np.round(np.clip(np.asarray(x) / s_x, -127, 127)).astype(np.int32)
+    want = (x_q @ np.asarray(q, np.int32)) * s_x * np.asarray(scale) + np.asarray(b)
+    np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-5)
+
+
+def test_static_text_encoder_quant(rng):
+    """Calibration -> static W8A8 text encoder: every exercised linear gets
+    an act_scale, and the quantized tower tracks the f32 one."""
+    from stable_diffusion_tpu.utils import quantize_model as qm
+    from stable_diffusion_tpu.utils.torch_interop import flatten_tree
+
+    tcfg = jclip.CLIPTextConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, max_position_embeddings=16, vocab_size=100,
+    )
+    params = jclip.init_text_model(jax.random.key(0), tcfg)
+    batches = [rng.integers(0, 100, size=(2, 16)).astype(np.int32) for _ in range(3)]
+    qparams = qm.quantize_text_encoder_static(params, tcfg, batches)
+
+    flat = flatten_tree(qparams)
+    act_scales = [k for k in flat if k.endswith("act_scale")]
+    kq = [k for k in flat if k.endswith("kernel_q")]
+    assert len(act_scales) == len(kq) > 0, (len(act_scales), len(kq))
+
+    ids = jnp.asarray(batches[0])
+    base = np.asarray(jclip.text_model_apply(params, ids, tcfg, impl="xla"))
+    quant = np.asarray(jclip.text_model_apply(qparams, ids, tcfg, impl="xla"))
+    rel = np.abs(quant - base).mean() / (np.abs(base).mean() + 1e-9)
+    assert rel < 0.1, rel  # int8 weights AND activations: ~few % drift
+    # jitted path compiles and matches the eager quantized result
+    import functools
+    jit_out = np.asarray(jax.jit(
+        functools.partial(jclip.text_model_apply, cfg=tcfg, impl="xla")
+    )(qparams, input_ids=ids))
+    np.testing.assert_allclose(jit_out, quant, atol=1e-5)
