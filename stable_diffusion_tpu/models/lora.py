@@ -131,10 +131,3 @@ def merge_lora(params, lora: Dict[str, dict], *, enabled: bool = True):
         params = merge_at(params, path.split("."), entry)
     return params
 
-
-def freeze_mask(params, lora_paths: Sequence[str]):
-    """Pytree of bools: True = trainable (the functional analog of the
-    reference's requires_grad freeze, lora.py:65-68).  With merged-LoRA
-    training the base params never receive grads, so this is used by optax
-    masking when training base weights alongside (train_text_encoder)."""
-    return jax.tree.map(lambda _: False, params)

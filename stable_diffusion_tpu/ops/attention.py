@@ -47,10 +47,20 @@ def _xla_sdpa(
     return out
 
 
-def _flash_supported(q: jax.Array, k: jax.Array) -> bool:
-    from stable_diffusion_tpu.ops import flash_attention as fa
+_logged_fallbacks = set()
 
-    return fa.supported(q, k)
+
+def _log_fallback(q, k, reason: str):
+    """One line per distinct shape so kernel-eligible shapes never silently
+    lose the Pallas path (round-1 finding: `supported()` quietly failed)."""
+    key = (q.shape, k.shape, reason)
+    if key not in _logged_fallbacks:
+        _logged_fallbacks.add(key)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "sdpa: XLA fallback for q=%s k=%s (%s)", q.shape, k.shape, reason
+        )
 
 
 def sdpa(
@@ -66,16 +76,26 @@ def sdpa(
 
     impl:
       "xla"   — pure-jnp einsum path (CPU / parity tests)
-      "flash" — Pallas TPU flash-attention kernel (errors if unsupported shape)
-      "auto"  — flash on TPU when the shape is supported, else XLA
+      "flash" — Pallas TPU kernels (errors if no kernel covers the shape)
+      "auto"  — Pallas on TPU when a kernel covers the shape, else XLA
+
+    Kernel coverage: non-causal self-attention (flash_attention.supported)
+    and short-KV cross-attention, kv <= 128 tokens — the UNet's 77-token
+    text conditioning (flash_attention.cross_supported).
     """
     if impl == "xla":
         return _xla_sdpa(q, k, v, causal=causal, scale=scale)
 
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    use_flash = (impl == "flash" or (impl == "auto" and on_tpu)) and not causal
-    if use_flash and _flash_supported(q, k):
-        from stable_diffusion_tpu.ops import flash_attention as fa
+    from stable_diffusion_tpu.ops import flash_attention as fa
 
-        return fa.flash_attention(q, k, v, causal=causal, scale=scale)
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    want_flash = impl == "flash" or (impl == "auto" and on_tpu)
+    if want_flash and not causal:
+        if fa.supported(q, k):
+            return fa.flash_attention(q, k, v, causal=causal, scale=scale)
+        if fa.cross_supported(q, k):
+            return fa.flash_cross_attention(q, k, v, scale=scale)
+        _log_fallback(q, k, "no kernel for shape")
+    elif want_flash and causal:
+        _log_fallback(q, k, "causal")
     return _xla_sdpa(q, k, v, causal=causal, scale=scale)

@@ -59,12 +59,29 @@ def supported(q: jax.Array, k: jax.Array) -> bool:
     b, sq, h, d = q.shape
     sk = k.shape[1]
     if sq != sk:
-        return False  # cross-attn with 77-token text keys -> XLA path
+        return False  # cross-attn handled by cross_supported / flash_cross
     dp = _padded_dim(d)
     if dp == 0:
         return False
     bq, bk = _pick_blocks(sq, h * dp)
     return sq % bq == 0 and sk % bk == 0 and sq >= 128
+
+
+def cross_supported(q: jax.Array, k: jax.Array) -> bool:
+    """Short-KV cross attention (UNet text conditioning: kv=77 tokens).
+
+    The whole (padded-to-128) K/V block sits in VMEM; one fused
+    logits-softmax-PV kernel per q block."""
+    if q.ndim != 4 or k.ndim != 4:
+        return False
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    if sq == sk or sk > 128:
+        return False
+    dp = _padded_dim(d)
+    if dp == 0 or h * dp > 2048:
+        return False
+    return sq >= 128 and sq % 128 == 0
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
@@ -231,6 +248,108 @@ def _flash_merged(q, k, v, *, scale: float, num_heads: int, head_dim: int):
                 q, k, v, scale=scale, num_heads=num_heads, head_dim=head_dim, bq=bq
             )
     return _flash_merged_online(q, k, v, scale=scale, num_heads=num_heads, head_dim=head_dim)
+
+
+def _cross_kernel(q_ref, k_ref, v_ref, o_ref, *, scale, num_heads, head_dim, kv_len):
+    """One fused logits-softmax-PV step per (batch, q-block); the full padded
+    K/V block (<=128 x width) rides in VMEM via its BlockSpec.  Padded kv
+    rows are masked to -inf before the softmax."""
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0, :, sl]   # (BQ, Dp) bf16
+        k = k_ref[0, :, sl]   # (SKp, Dp)
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (BQ, SKp) f32
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < kv_len, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = (o / l).astype(o_ref.dtype)
+
+
+def _flash_cross_merged(q, k, v, *, scale, num_heads, head_dim, kv_len):
+    """q: (B, Sq, W); k, v: (B, SKp, W) with SKp the 128-padded kv length."""
+    b, sq, w = q.shape
+    skp = k.shape[1]
+    bq = 256 if w <= 640 else 128
+    bq = min(bq, sq)
+    grid = (b, sq // bq)
+    kernel = functools.partial(
+        _cross_kernel, scale=scale, num_heads=num_heads, head_dim=head_dim,
+        kv_len=kv_len,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, w), lambda g, i: (g, i, 0)),
+            pl.BlockSpec((1, skp, w), lambda g, i: (g, 0, 0)),
+            pl.BlockSpec((1, skp, w), lambda g, i: (g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, w), lambda g, i: (g, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, sq, w), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * sq * skp * w,
+            bytes_accessed=2 * b * sq * w * q.dtype.itemsize,
+            transcendentals=b * num_heads * sq * skp,
+        ),
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_cross(q, k, v, scale):
+    b, sq, h, d = q.shape
+    sk = k.shape[1]
+    dp = _padded_dim(d)
+    skp = 128
+    if dp != d:
+        pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
+        q, k, v = (jnp.pad(x, p) for x, p in ((q, pad), (k, pad), (v, pad)))
+    if skp != sk:
+        kvpad = [(0, 0), (0, skp - sk), (0, 0), (0, 0)]
+        k = jnp.pad(k, kvpad)
+        v = jnp.pad(v, kvpad)
+    o = _flash_cross_merged(
+        q.reshape(b, sq, h * dp), k.reshape(b, skp, h * dp), v.reshape(b, skp, h * dp),
+        scale=scale, num_heads=h, head_dim=dp, kv_len=sk,
+    ).reshape(b, sq, h, dp)
+    if dp != d:
+        o = o[..., :d]
+    return o
+
+
+def _flash_cross_fwd(q, k, v, scale):
+    return _flash_cross(q, k, v, scale), (q, k, v)
+
+
+def _flash_cross_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_ref(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+_flash_cross.defvjp(_flash_cross_fwd, _flash_cross_bwd)
+
+
+def flash_cross_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Fused short-KV cross attention over (B, S, H, D) tensors."""
+    if not cross_supported(q, k):
+        raise ValueError(f"unsupported cross shape q={q.shape} k={k.shape}")
+    d = q.shape[-1]
+    return _flash_cross(q, k, v, d ** -0.5 if scale is None else scale)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -91,3 +91,44 @@ def test_groupnorm_kernel_interpret_matches_xla(rng):
     with pltpu.force_tpu_interpret_mode():
         got2 = group_norm_silu(x=x, params=params, num_groups=8, eps=1e-5, silu=False, impl="pallas")
     np.testing.assert_allclose(np.asarray(got2), np.asarray(want2), atol=2e-5)
+
+
+def test_flash_cross_kernel_interpret_matches_xla(rng):
+    """Short-KV cross-attention kernel (77-token text conditioning, padded
+    to 128 kv rows with masking) vs the XLA path, incl. head-dim padding."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from stable_diffusion_tpu.ops import flash_attention as fa
+    from stable_diffusion_tpu.ops.attention import _xla_sdpa
+
+    for d in (64, 40):  # lane-aligned and padded head dims
+        q = jnp.asarray(rng.standard_normal((2, 256, 2, d), dtype=np.float32))
+        k = jnp.asarray(rng.standard_normal((2, 77, 2, d), dtype=np.float32))
+        v = jnp.asarray(rng.standard_normal((2, 77, 2, d), dtype=np.float32))
+        assert fa.cross_supported(q, k)
+        assert not fa.supported(q, k)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(fa.flash_cross_attention(q, k, v))
+        want = np.asarray(_xla_sdpa(q, k, v))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_sdpa_routes_cross_to_kernel(rng, monkeypatch):
+    """impl='flash' on a cross shape must call the cross kernel."""
+    from stable_diffusion_tpu.ops import attention as A
+    from stable_diffusion_tpu.ops import flash_attention as fa
+    from jax.experimental.pallas import tpu as pltpu
+
+    q = jnp.asarray(rng.standard_normal((1, 128, 2, 64), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 77, 2, 64), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 77, 2, 64), dtype=np.float32))
+    calls = []
+    real = fa.flash_cross_attention
+    monkeypatch.setattr(fa, "flash_cross_attention",
+                        lambda *a, **kw: (calls.append(1), real(*a, **kw))[1])
+    with pltpu.force_tpu_interpret_mode():
+        out = A.sdpa(q, k, v, impl="flash")
+    assert calls, "cross shape did not route to flash_cross_attention"
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(A._xla_sdpa(q, k, v)), atol=2e-5
+    )
