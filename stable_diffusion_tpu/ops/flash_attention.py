@@ -360,10 +360,19 @@ def _flash(q, k, v, scale):
         pad = [(0, 0), (0, 0), (0, 0), (0, dp - d)]
         q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
     # (B, S, H, Dp) -> (B, S, H*Dp): minor-dims merge, no data movement
-    o = _flash_merged(
-        q.reshape(b, s, h * dp), k.reshape(b, s, h * dp), v.reshape(b, s, h * dp),
-        scale=scale, num_heads=h, head_dim=dp,
-    ).reshape(b, s, h, dp)
+    q, k, v = (x.reshape(b, s, h * dp) for x in (q, k, v))
+    # Mosaic requires DMA/scratch views to be 128-aligned on the lane dim;
+    # pad the merged width (e.g. 5 heads x 64 = 320 -> 384).  The pad columns
+    # are zeros and live past every per-head slice, so they never mix in.
+    w = h * dp
+    wp = (w + 127) // 128 * 128
+    if wp != w:
+        wpad = [(0, 0), (0, 0), (0, wp - w)]
+        q, k, v = (jnp.pad(x, wpad) for x in (q, k, v))
+    o = _flash_merged(q, k, v, scale=scale, num_heads=h, head_dim=dp)
+    if wp != w:
+        o = o[..., :w]
+    o = o.reshape(b, s, h, dp)
     if dp != d:
         o = o[..., :d]
     return o
