@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from stable_diffusion_tpu.models import layers
 from stable_diffusion_tpu.models.attention import multihead_attention, init_multihead_attention
+from stable_diffusion_tpu.ops import conv as conv_ops
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,18 +123,17 @@ def resblock_apply(params, x: jax.Array, t_embed: jax.Array, *, eps: float,
                    impl: str = "auto") -> jax.Array:
     """GN-SiLU-conv + time-proj add + GN-SiLU-conv + shortcut
     (reference unet.py:153-195).  x: NHWC; t_embed: (B or 1, 4*t_dim).
-    GN+SiLU runs fused in one Pallas pass on TPU (ops/groupnorm.py)."""
-    from stable_diffusion_tpu.ops.groupnorm import group_norm_silu
+    On TPU the GN+SiLU+conv3x3 pattern runs as one fused Pallas pipeline
+    (ops/conv.py: stats kernel + normalize folded into the conv's im2col)."""
+    from stable_diffusion_tpu.ops.conv import gn_silu_conv3x3
 
-    h = group_norm_silu(params["groupnorm_1"], x, eps=eps, silu=True, impl=impl)
-    h = layers.conv2d(params["conv_1"], h)
+    h = gn_silu_conv3x3(params["groupnorm_1"], params["conv_1"], x, eps=eps, impl=impl)
 
     time = layers.silu(t_embed)
     time = layers.linear(params["t_embed"], time)
     h = h + time[:, None, None, :]
 
-    h = group_norm_silu(params["groupnorm_2"], h, eps=eps, silu=True, impl=impl)
-    h = layers.conv2d(params["conv_2"], h)
+    h = gn_silu_conv3x3(params["groupnorm_2"], params["conv_2"], h, eps=eps, impl=impl)
 
     if "proj_input" in params:
         x = layers.conv2d(params["proj_input"], x)
@@ -261,7 +261,7 @@ def unet_apply(
             # (static at trace time — shapes are concrete under jit)
             if not (skips and skips[-1].shape[2] == prev_hw):
                 h = layers.upsample_nearest_2x(h)
-            h = layers.conv2d(stage["upsample"]["conv"], h)
+            h = conv_ops.conv3x3(stage["upsample"]["conv"], h, impl=impl)
 
     # ----- output head (reference unet.py:398-401) -----
     from stable_diffusion_tpu.ops.groupnorm import group_norm_silu
@@ -340,7 +340,7 @@ def unet_deep(params, down0, t_embed, cond, cfg: UNetConfig, *, impl="auto"):
             )
         if not (skips and skips[-1].shape[2] == prev_hw):
             h = layers.upsample_nearest_2x(h)
-        h = layers.conv2d(stage["upsample"]["conv"], h)
+        h = conv_ops.conv3x3(stage["upsample"]["conv"], h, impl=impl)
     return h
 
 

@@ -1,0 +1,272 @@
+"""Pallas TPU 3x3 convolution (the UNet/VAE resblock hot op).
+
+XLA's conv emitter delivers ~15 TF/s on the SD resblock shapes inside the
+full denoise program (measured via op_profile, benchmarks/microbench_unet.py)
+— ~7% of the MXU.  This kernel reformulates conv3x3 as three tap matmuls
+over a width-im2col view and runs near matmul rate:
+
+  * Host side builds ``x3 = concat(x[:, :, 0:W], x[:, :, 1:W+1], x[:, :, 2:W+2],
+    axis=-1)`` from the spatially padded input — shape (B, H+2, W, 3C).  The
+    kernel kernel is then a plain dense matmul per vertical tap: no in-kernel
+    lane/sublane shifting (Mosaic restricts those), K = 3C keeps the MXU fed.
+  * Grid walks (batch, row-blocks, cout-blocks), cout innermost.  The input
+    row window (BH+2, W, 3C) is DMA'd to VMEM scratch ONCE per row-block and
+    reused across all cout blocks; weights stream through the normal
+    BlockSpec pipeline.
+  * The vertical taps are slices on the untiled row dim of the scratch —
+    always legal — feeding three (BH*W, 3C) x (3C, BN) MXU matmuls with f32
+    accumulation; bias is fused into the epilogue.
+
+Replaces the reference's ``nn.Conv2d`` calls inside ResBlocks
+(reference models/unet/unet.py:153-195, models/vae/resnet.py:5-39).
+Stride-2 / asymmetric-pad convs (down/upsample) keep the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _conv3x3_kernel(x3_hbm, w_ref, b_ref, o_ref, xwin, sem, acc_ref, *,
+                    bh: int, w: int, c3: int):
+    g = pl.program_id(0)
+    i = pl.program_id(1)
+    n = pl.program_id(2)
+
+    @pl.when(n == 0)
+    def _load():
+        # rows [i*bh, i*bh + bh + 2) of the padded input: row dim is untiled,
+        # arbitrary offsets are DMA-legal
+        cp = pltpu.make_async_copy(
+            x3_hbm.at[g, pl.ds(i * bh, bh + 2)], xwin, sem
+        )
+        cp.start()
+        cp.wait()
+
+    for dy in range(3):
+        xs = xwin[pl.ds(dy, bh)].reshape(bh * w, c3)
+        part = jax.lax.dot_general(
+            xs, w_ref[dy], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if dy == 0:
+            acc_ref[:] = part
+        else:
+            acc_ref[:] = acc_ref[:] + part
+    acc = acc_ref[:] + b_ref[:]  # (BH*W, BN) + (1, BN)
+    o_ref[0] = acc.astype(o_ref.dtype).reshape(bh, w, acc.shape[-1])
+
+
+def _pick_bh(h: int, w: int, c3: int, itemsize: int) -> int:
+    # scratch (bh+2, W, 3C) + acc; target <= ~4 MB scratch
+    budget = 4 * 1024 * 1024
+    bh = h
+    while bh > 4:
+        if (bh + 2) * w * c3 * itemsize <= budget and h % bh == 0:
+            return bh
+        bh //= 2
+    return h if (h + 2) * w * c3 * itemsize <= budget else 0
+
+
+def _pick_bn(cout: int, c3: int, itemsize: int) -> int:
+    # weights block (3, 3C, bn); keep under ~6 MB so double-buffering fits
+    budget = 6 * 1024 * 1024
+    for bn in (cout, 1280, 640, 512, 256, 128):
+        if bn <= cout and cout % bn == 0 and 3 * c3 * bn * itemsize <= budget:
+            return bn
+    return 0
+
+
+def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
+    if x.ndim != 4 or kernel.shape[:2] != (3, 3) or stride != 1:
+        return False
+    if padding not in ("SAME", 1, ((1, 1), (1, 1))):
+        return False
+    b, h, w, c = x.shape
+    cout = kernel.shape[-1]
+    if w % 8:
+        return False
+    c3p = (3 * c + 127) // 128 * 128
+    bh = _pick_bh(h, w, c3p, x.dtype.itemsize)
+    bn = _pick_bn(cout, c3p, x.dtype.itemsize)
+    return bh > 0 and bn > 0
+
+
+def _conv3x3_call(x3, w3, bias, *, bh: int, bn: int, h: int, out_dtype):
+    b, hp2, w, c3 = x3.shape
+    cout = w3.shape[-1]
+    grid = (b, h // bh, cout // bn)
+    kernel = functools.partial(_conv3x3_kernel, bh=bh, w=w, c3=c3)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, c3, bn), lambda g, i, n: (0, 0, n)),
+            pl.BlockSpec((1, bn), lambda g, i, n: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w, bn), lambda g, i, n: (g, i, 0, n)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bh + 2, w, c3), x3.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((bh * w, bn), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * c3 * 3 * cout,
+            bytes_accessed=(b * hp2 * w * c3 + b * h * w * cout) * x3.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x3, w3, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _conv3x3(x, kernel, bias):
+    b, h, w, c = x.shape
+    cout = kernel.shape[-1]
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # width-im2col: (B, H+2, W, 3C), tap-major (dx) blocks of C — matches
+    # kernel.reshape(3, 3C, cout)'s (dx, c) row ordering
+    x3 = jnp.concatenate(
+        [xp[:, :, 0:w, :], xp[:, :, 1 : w + 1, :], xp[:, :, 2 : w + 2, :]],
+        axis=-1,
+    )
+    w3 = kernel.astype(x.dtype).reshape(3, 3 * c, cout)
+    # Mosaic DMA slices must be 128-aligned on the lane dim: pad K = 3C up
+    # (e.g. 960 -> 1024); the zero K rows contribute nothing to the matmul
+    c3p = (3 * c + 127) // 128 * 128
+    if c3p != 3 * c:
+        x3 = jnp.pad(x3, ((0, 0), (0, 0), (0, 0), (0, c3p - 3 * c)))
+        w3 = jnp.pad(w3, ((0, 0), (0, c3p - 3 * c), (0, 0)))
+    b2 = (bias if bias is not None else jnp.zeros((cout,), x.dtype))
+    b2 = b2.astype(jnp.float32).reshape(1, cout)
+    bh = _pick_bh(h, w, c3p, x.dtype.itemsize)
+    bn = _pick_bn(cout, c3p, x.dtype.itemsize)
+    return _conv3x3_call(x3, w3, b2, bh=bh, bn=bn, h=h, out_dtype=x.dtype)
+
+
+def _xla_conv(x, kernel, bias):
+    y = jax.lax.conv_general_dilated(
+        x, kernel.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def _conv_fwd(x, kernel, bias):
+    return _conv3x3(x, kernel, bias), (x, kernel, bias)
+
+
+def _conv_bwd(res, g):
+    x, kernel, bias = res
+    _, vjp = jax.vjp(_xla_conv, x, kernel, bias)
+    return vjp(g)
+
+
+_conv3x3.defvjp(_conv_fwd, _conv_bwd)
+
+
+def _gn_silu_conv_xla(gamma, beta, x, kernel, bias, num_groups, eps):
+    from stable_diffusion_tpu.models import layers
+
+    y = layers.group_norm({"scale": gamma, "bias": beta}, x,
+                          num_groups=num_groups, eps=eps)
+    return _xla_conv(layers.silu(y), kernel, bias)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _gn_silu_conv(gamma, beta, x, kernel, bias, num_groups, eps):
+    from stable_diffusion_tpu.ops.groupnorm import gn_scale_shift
+
+    ss = gn_scale_shift({"scale": gamma, "bias": beta}, x,
+                        num_groups=num_groups, eps=eps)  # (B, 2, C) f32
+    xf = x.astype(jnp.float32)
+    xn = xf * ss[:, 0][:, None, None, :] + ss[:, 1][:, None, None, :]
+    xn = (xn * jax.nn.sigmoid(xn)).astype(x.dtype)
+    # XLA fuses the normalize+SiLU into the pad/concat producer below, so the
+    # separate GN normalize pass over HBM disappears entirely.
+    return _conv3x3(xn, kernel, bias)
+
+
+def _gn_conv_fwd(gamma, beta, x, kernel, bias, num_groups, eps):
+    out = _gn_silu_conv(gamma, beta, x, kernel, bias, num_groups, eps)
+    return out, (gamma, beta, x, kernel, bias)
+
+
+def _gn_conv_bwd(num_groups, eps, res, g):
+    gamma, beta, x, kernel, bias = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d, e: _gn_silu_conv_xla(a, b, c, d, e, num_groups, eps),
+        gamma, beta, x, kernel, bias,
+    )
+    return vjp(g)
+
+
+_gn_silu_conv.defvjp(_gn_conv_fwd, _gn_conv_bwd)
+
+
+def gn_silu_conv3x3(
+    gn_params,
+    conv_params,
+    x: jax.Array,
+    *,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    impl: str = "auto",
+) -> jax.Array:
+    """Fused GroupNorm -> SiLU -> conv3x3 (the resblock hot pattern,
+    reference models/unet/unet.py:174-189).  Pallas conv kernel with the
+    normalize+SiLU folded into its im2col build; stats via the streaming
+    Pallas GN kernel.  Falls back to group_norm_silu + XLA conv off-TPU or
+    for uncovered shapes."""
+    kernel = conv_params["kernel"]
+    bias = conv_params.get("bias")
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    want = impl in ("pallas", "flash") or (impl == "auto" and on_tpu)
+    if (want and supported(x, kernel, 1, "SAME")
+            and x.shape[-1] % num_groups == 0):
+        return _gn_silu_conv(gn_params["scale"], gn_params["bias"], x,
+                             kernel, bias, num_groups, eps)
+    from stable_diffusion_tpu.ops.groupnorm import group_norm_silu
+
+    h = group_norm_silu(gn_params, x, num_groups=num_groups, eps=eps,
+                        silu=True, impl=impl)
+    from stable_diffusion_tpu.models import layers
+
+    return layers.conv2d(conv_params, h)
+
+
+def conv3x3(
+    params,
+    x: jax.Array,
+    *,
+    stride: int = 1,
+    padding="SAME",
+    impl: str = "auto",
+) -> jax.Array:
+    """Drop-in for ``layers.conv2d`` on 3x3 SAME stride-1 convs.
+
+    impl: "xla" forces the XLA path; "pallas" requires kernel coverage;
+    "auto" uses the kernel on TPU when the shape qualifies.
+    """
+    kernel = params["kernel"]
+    bias = params.get("bias")
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    want = impl in ("pallas", "flash") or (impl == "auto" and on_tpu)
+    if want and supported(x, kernel, stride, padding):
+        return _conv3x3(x, kernel, bias)
+    if impl == "pallas":
+        raise ValueError(f"conv3x3 kernel does not cover x={x.shape} k={kernel.shape}")
+    from stable_diffusion_tpu.models import layers
+
+    return layers.conv2d(params, x, stride=stride, padding=padding)

@@ -142,6 +142,63 @@ def group_norm_silu(
     return _gn_silu_kernel_call(params["scale"], params["bias"], x, num_groups, eps, silu)
 
 
+def gn_scale_shift(params, x: jax.Array, *, num_groups: int = 32,
+                   eps: float = 1e-5) -> jax.Array:
+    """Per-channel folded GroupNorm affine: (B, 2, C) f32 with
+    ``y = x * out[:, 0] + out[:, 1]``.  Stats via the Pallas streaming kernel
+    on TPU, XLA reduction elsewhere.  Lets callers fuse the normalize pass
+    into a downstream op (e.g. the conv3x3 im2col build)."""
+    b = x.shape[0]
+    c = x.shape[-1]
+    hw = 1
+    for d in x.shape[1:-1]:
+        hw *= d
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    hwb = _pick_hwb(hw, c)
+    if on_tpu and hwb > 0 and c % num_groups == 0:
+        return _stats_call(params["scale"], params["bias"], x, num_groups, eps)
+    g = num_groups
+    xf = x.astype(jnp.float32).reshape(b, -1, g, c // g)
+    mean = jnp.mean(xf, axis=(1, 3))  # (B, G)
+    var = jnp.mean(jnp.square(xf), axis=(1, 3)) - mean * mean
+    inv = jax.lax.rsqrt(var + eps)
+    mean_c = jnp.repeat(mean, c // g, axis=-1)
+    inv_c = jnp.repeat(inv, c // g, axis=-1)
+    scale = params["scale"].astype(jnp.float32)[None, :] * inv_c
+    shift = params["bias"].astype(jnp.float32)[None, :] - mean_c * scale
+    return jnp.stack([scale, shift], axis=1)
+
+
+def _stats_call(gamma_in, beta_in, x, num_groups, eps):
+    b = x.shape[0]
+    c = x.shape[-1]
+    hw = 1
+    for d in x.shape[1:-1]:
+        hw *= d
+    hwb = _pick_hwb(hw, c)
+    xf = x.reshape(b, hw, c)
+    gamma = gamma_in.reshape(1, c)
+    beta = beta_in.reshape(1, c)
+    nblk = hw // hwb
+    return pl.pallas_call(
+        functools.partial(
+            _stats_kernel, num_groups=num_groups, eps=eps, total_hw=hw
+        ),
+        grid=(b, nblk),
+        in_specs=[
+            pl.BlockSpec((1, hwb, c), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 2, c), lambda i, j: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, 2, c), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((2, c), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+    )(xf, gamma, beta)
+
+
 def _run_kernels(gamma_in, beta_in, x, num_groups, eps, silu):
     b = x.shape[0]
     c = x.shape[-1]
