@@ -105,7 +105,7 @@ def bench_sd15_txt2img(repeats, steps=50, batch=1):
             prompt="", do_cfg=True, cfg_scale=7.5, inference_steps=steps,
             sampler="ddim", img_size=(512, 512), batch_size=batch,
             cond_ids=cond, uncond_ids=unc, seed=seed,
-            deepcache_interval=deepcache,
+            deepcache_interval=deepcache, output_dtype="uint8",
         )
 
     dt = _timed(run, repeats)
@@ -131,6 +131,7 @@ def bench_sd15_img2img(repeats):
             sampler="ddpm", use_cosine_schedule=True, strength=0.8,
             img_size=(512, 512), batch_size=batch, cond_ids=cond,
             uncond_ids=unc, seed=seed, input_latents=lat,
+            output_dtype="uint8",
         )
 
     dt = _timed(run, repeats)
@@ -152,6 +153,7 @@ def bench_sd21_txt2img_768(repeats):
             prompt="", do_cfg=True, cfg_scale=7.5, inference_steps=50,
             sampler="ddim", img_size=(768, 768), batch_size=1,
             cond_ids=cond, uncond_ids=unc, seed=seed,
+            output_dtype="uint8",
         )
 
     dt = _timed(run, repeats)

@@ -42,6 +42,7 @@ def inference(args, model, input_image=None):
                 use_cosine_schedule=args.use_cosine_schedule,
                 seed=(args.seed or 0) + i,
                 batch_size=args.batch_size,
+                output_dtype="uint8",
             )
         else:
             imgs = model.generate_in_one_step(
@@ -51,7 +52,10 @@ def inference(args, model, input_image=None):
                 batch_size=args.batch_size,
             )
         for j, img in enumerate(imgs):
-            arr = (np.clip(img, 0.0, 1.0) * 255).round().astype(np.uint8)
+            if img.dtype == np.uint8:
+                arr = img
+            else:
+                arr = (np.clip(img, 0.0, 1.0) * 255).round().astype(np.uint8)
             Image.fromarray(arr).save(os.path.join(args.output_dir, f"img_{i}_{j}.jpg"))
             outputs.append(arr)
     return outputs

@@ -49,15 +49,14 @@ class VAEConfig:
         )
 
 
-def _residual_block(params, x: jax.Array, *, eps: float = 1e-6) -> jax.Array:
+def _residual_block(params, x: jax.Array, *, eps: float = 1e-6, impl: str = "auto") -> jax.Array:
     """GN-SiLU-conv x2 + optional 1x1 shortcut (reference resnet.py:5-39);
-    param names {norm1, conv1, norm2, conv2[, conv_shortcut]}."""
-    h = layers.group_norm(params["norm1"], x, eps=eps)
-    h = layers.silu(h)
-    h = layers.conv2d(params["conv1"], h)
-    h = layers.group_norm(params["norm2"], h, eps=eps)
-    h = layers.silu(h)
-    h = layers.conv2d(params["conv2"], h)
+    param names {norm1, conv1, norm2, conv2[, conv_shortcut]}.  On TPU each
+    GN-SiLU-conv runs as the fused Pallas pipeline (ops/conv.py)."""
+    from stable_diffusion_tpu.ops.conv import gn_silu_conv3x3
+
+    h = gn_silu_conv3x3(params["norm1"], params["conv1"], x, eps=eps, impl=impl)
+    h = gn_silu_conv3x3(params["norm2"], params["conv2"], h, eps=eps, impl=impl)
     if "conv_shortcut" in params:
         x = layers.conv2d(params["conv_shortcut"], x)
     return h + x
@@ -84,15 +83,15 @@ def encoder_apply(params, x: jax.Array, cfg: VAEConfig = VAEConfig(), *, impl: s
     for i in range(n):
         stage = params["down_blocks"][str(i)]
         for j in ("0", "1"):
-            h = _residual_block(stage["resnets"][j], h)
+            h = _residual_block(stage["resnets"][j], h, impl=impl)
         if i != n - 1:
             h = layers.conv2d(
                 stage["downsamplers"]["0"]["conv"], h, stride=2, padding=((0, 1), (0, 1))
             )
     mid = params["mid_block"]
-    h = _residual_block(mid["resnets"]["0"], h)
+    h = _residual_block(mid["resnets"]["0"], h, impl=impl)
     h = _mid_attention(mid["attentions"]["0"], h, impl=impl)
-    h = _residual_block(mid["resnets"]["1"], h)
+    h = _residual_block(mid["resnets"]["1"], h, impl=impl)
     h = layers.group_norm(params["conv_norm_out"], h, eps=cfg.norm_eps)
     h = layers.silu(h)
     return layers.conv2d(params["conv_out"], h)
@@ -102,17 +101,19 @@ def decoder_apply(params, z: jax.Array, cfg: VAEConfig = VAEConfig(), *, impl: s
     """Latent NHWC (B,h,w,z) -> image (B,8h,8w,3) in [-1,1] (reference vae.py:230-239)."""
     h = layers.conv2d(params["conv_in"], z)
     mid = params["mid_block"]
-    h = _residual_block(mid["resnets"]["0"], h)
+    h = _residual_block(mid["resnets"]["0"], h, impl=impl)
     h = _mid_attention(mid["attentions"]["0"], h, impl=impl)
-    h = _residual_block(mid["resnets"]["1"], h)
+    h = _residual_block(mid["resnets"]["1"], h, impl=impl)
     n = len(cfg.ch_mult)
     for u in range(n):  # up_blocks stored deepest-first (reversed ch_mult)
         stage = params["up_blocks"][str(u)]
         for j in ("0", "1", "2"):
-            h = _residual_block(stage["resnets"][j], h)
+            h = _residual_block(stage["resnets"][j], h, impl=impl)
         if u != n - 1:
             h = layers.upsample_nearest_2x(h)
-            h = layers.conv2d(stage["upsamplers"]["0"]["conv"], h)
+            from stable_diffusion_tpu.ops.conv import conv3x3
+
+            h = conv3x3(stage["upsamplers"]["0"]["conv"], h, impl=impl)
     h = layers.group_norm(params["conv_norm_out"], h, eps=cfg.norm_eps)
     h = layers.silu(h)
     return layers.conv2d(params["conv_out"], h)

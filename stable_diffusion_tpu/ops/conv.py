@@ -91,6 +91,12 @@ def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
     cout = kernel.shape[-1]
     if w % 8:
         return False
+    # Measured envelope (benchmarks/microbench_conv.py): the kernel beats the
+    # XLA conv at the UNet's 16^2..96^2 stages (C >= 320), but loses on
+    # bandwidth-bound large-spatial / small-C shapes (VAE 256^2+) and on the
+    # tiny 8^2 stage where M = H*W underfills the MXU sublanes.
+    if not (256 <= h * w <= 9216) or c < 320:
+        return False
     c3p = (3 * c + 127) // 128 * 128
     bh = _pick_bh(h, w, c3p, x.dtype.itemsize)
     bn = _pick_bn(cout, c3p, x.dtype.itemsize)

@@ -275,7 +275,12 @@ def _flash_cross_merged(q, k, v, *, scale, num_heads, head_dim, kv_len):
     """q: (B, Sq, W); k, v: (B, SKp, W) with SKp the 128-padded kv length."""
     b, sq, w = q.shape
     skp = k.shape[1]
-    bq = 256 if w <= 640 else 128
+    # Tall q blocks: the K/V block is tiny (<=128 rows), so per-step cost is
+    # dominated by per-dot overhead — M=2048 rows keeps the MXU streaming
+    # (q + out blocks ~2 MB each at w=512; logits bq x 128 f32 ~1 MB)
+    bq = 2048 if w <= 640 else 512
+    while bq > 128 and sq % bq:
+        bq //= 2
     bq = min(bq, sq)
     grid = (b, sq // bq)
     kernel = functools.partial(

@@ -132,6 +132,19 @@ def test_generate_full_image_output(tiny):
     assert np.all(np.isfinite(imgs))
 
 
+def test_generate_uint8_output_matches_float(tiny):
+    """output_dtype="uint8" (serving format) is the quantized float image."""
+    pipe, _, _ = tiny
+    kw = dict(prompt="", do_cfg=False, inference_steps=2, sampler="ddim",
+              img_size=(64, 64), cond_ids=np.zeros((1, 77), np.int64), seed=5)
+    f = pipe.generate(**kw)
+    u = pipe.generate(**kw, output_dtype="uint8")
+    assert u.dtype == np.uint8 and u.shape == f.shape
+    want = np.round(np.clip(f, 0.0, 1.0) * 255.0).astype(np.uint8)
+    # identical up to 1 count (round happens on-device for the fused path)
+    assert np.max(np.abs(u.astype(np.int16) - want.astype(np.int16))) <= 1
+
+
 def test_one_step_generation(tiny):
     pipe, m, text = tiny
     imgs = pipe.generate_in_one_step(
