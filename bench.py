@@ -171,7 +171,8 @@ def bench_one_step_b32(repeats):
 
     def run(seed):
         return pipe.generate_in_one_step(
-            prompt="", img_size=(512, 512), batch_size=32, cond_ids=cond, seed=seed
+            prompt="", img_size=(512, 512), batch_size=32, cond_ids=cond,
+            seed=seed, output_dtype="uint8",
         )
 
     dt = _timed(run, repeats)

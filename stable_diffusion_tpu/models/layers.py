@@ -79,6 +79,15 @@ def conv2d(
     asymmetric ((0,1),(0,1)) pad of the reference (models/vae/vae.py:23-28).
     """
     kernel = params["kernel"].astype(x.dtype)
+    if kernel.shape[0] == kernel.shape[1] == 1 and stride == 1:
+        # 1x1 conv == per-pixel matmul.  Expressing it as a dot keeps XLA:TPU
+        # from assigning spatial conv layouts (T(2,128) tiles) to the
+        # activations, which forces relayouts around the Pallas kernels that
+        # produce/consume them in plain row-major.
+        y = jnp.dot(x, kernel[0, 0], preferred_element_type=x.dtype)
+        if "bias" in params:
+            y = y + params["bias"].astype(x.dtype)
+        return y
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     y = jax.lax.conv_general_dilated(

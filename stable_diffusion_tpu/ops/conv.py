@@ -33,23 +33,40 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv3x3_kernel(x3_hbm, w_ref, b_ref, o_ref, xwin, sem, acc_ref, *,
-                    bh: int, w: int, c3: int):
+                    bh: int, w: int, c3: int, n_i: int, n_win: int):
     g = pl.program_id(0)
     i = pl.program_id(1)
     n = pl.program_id(2)
 
+    def _copy(win_idx, slot):
+        # rows [i*bh, i*bh + bh + 2) of the padded input for window win_idx
+        # (= g*n_i + i): row dim is untiled, arbitrary offsets are DMA-legal
+        gg = win_idx // n_i
+        ii = win_idx - gg * n_i
+        return pltpu.make_async_copy(
+            x3_hbm.at[gg, pl.ds(ii * bh, bh + 2)], xwin.at[slot], sem.at[slot]
+        )
+
+    win = g * n_i + i
+    slot = jax.lax.rem(win, 2)
+
     @pl.when(n == 0)
     def _load():
-        # rows [i*bh, i*bh + bh + 2) of the padded input: row dim is untiled,
-        # arbitrary offsets are DMA-legal
-        cp = pltpu.make_async_copy(
-            x3_hbm.at[g, pl.ds(i * bh, bh + 2)], xwin, sem
-        )
-        cp.start()
-        cp.wait()
+        # double-buffered input windows: window 0 is copied synchronously,
+        # each window then prefetches its successor so the DMA for window
+        # w+1 overlaps the 9 tap matmuls of window w
+        @pl.when(win == 0)
+        def _first():
+            _copy(win, slot).start()
+
+        _copy(win, slot).wait()
+
+        @pl.when(win + 1 < n_win)
+        def _prefetch():
+            _copy(win + 1, 1 - slot).start()
 
     for dy in range(3):
-        xs = xwin[pl.ds(dy, bh)].reshape(bh * w, c3)
+        xs = xwin[slot, pl.ds(dy, bh)].reshape(bh * w, c3)
         part = jax.lax.dot_general(
             xs, w_ref[dy], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -62,24 +79,46 @@ def _conv3x3_kernel(x3_hbm, w_ref, b_ref, o_ref, xwin, sem, acc_ref, *,
     o_ref[0] = acc.astype(o_ref.dtype).reshape(bh, w, acc.shape[-1])
 
 
-def _pick_bh(h: int, w: int, c3: int, itemsize: int) -> int:
-    # scratch (bh+2, W, 3C) + acc; target <= ~4 MB scratch
-    budget = 4 * 1024 * 1024
-    bh = h
-    while bh > 4:
-        if (bh + 2) * w * c3 * itemsize <= budget and h % bh == 0:
-            return bh
-        bh //= 2
-    return h if (h + 2) * w * c3 * itemsize <= budget else 0
+def _pick_blocks(h: int, w: int, c3: int, cout: int, itemsize: int):
+    """Joint (bh, bn) choice under one VMEM budget: 2-slot input window
+    scratch + double-buffered weight blocks + f32 acc + double-buffered
+    output blocks must fit.  Returns (0, 0) when nothing fits."""
+    # 16 MB VMEM minus ~4 MB empirical headroom for Mosaic stack temporaries
+    # (the dot result and reshaped tap views are not modeled below; a 14 MB
+    # budget compiled to a measured 16.3 MB allocation and OOM'd)
+    budget = 12 * 1024 * 1024
+    lane = 128  # lane padding on the c3 dim inside VMEM
 
+    def win_bytes(bh):
+        c3p = (c3 + lane - 1) // lane * lane
+        return (bh + 2) * w * c3p * itemsize
 
-def _pick_bn(cout: int, c3: int, itemsize: int) -> int:
-    # weights block (3, 3C, bn); keep under ~6 MB so double-buffering fits
-    budget = 6 * 1024 * 1024
-    for bn in (cout, 1280, 640, 512, 256, 128):
-        if bn <= cout and cout % bn == 0 and 3 * c3 * bn * itemsize <= budget:
-            return bn
-    return 0
+    # bn must be the full cout or a 128 multiple (Pallas block divisibility).
+    # Prefer large row blocks (fewer windows => less weight re-streaming,
+    # bigger M) with bn >= 256 first; fall back to skinnier bn only if needed.
+    def fits(bh, bn):
+        wt = 2 * 3 * c3 * bn * itemsize  # double-buffered
+        acc = bh * w * bn * 4
+        outb = 2 * bh * w * bn * itemsize
+        return 2 * win_bytes(bh) + wt + acc + outb <= budget
+
+    def bns():
+        for bn in (cout, 1280, 640, 512, 384, 256, 128):
+            if bn != cout and bn % lane:
+                continue
+            if bn > cout or cout % bn:
+                continue
+            yield bn
+
+    for min_bn in (256, 1):
+        bh = h
+        while bh >= 2:
+            if h % bh == 0:
+                for bn in bns():
+                    if bn >= min_bn and fits(bh, bn):
+                        return bh, bn
+            bh //= 2
+    return 0, 0
 
 
 def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
@@ -91,15 +130,16 @@ def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
     cout = kernel.shape[-1]
     if w % 8:
         return False
-    # Measured envelope (benchmarks/microbench_conv.py): the kernel beats the
-    # XLA conv at the UNet's 16^2..96^2 stages (C >= 320), but loses on
-    # bandwidth-bound large-spatial / small-C shapes (VAE 256^2+) and on the
-    # tiny 8^2 stage where M = H*W underfills the MXU sublanes.
-    if not (256 <= h * w <= 9216) or c < 320:
+    # Measured win envelope (benchmarks/microbench_conv.py): the kernel beats
+    # the XLA conv at the UNet's 32^2..96^2 stages for model batch <= 4 when
+    # the input channel count is not blown up by a skip concat (c < 2*cout:
+    # big-K convs are weight-streaming-bound and XLA schedules them better).
+    # It loses on bandwidth-bound large-spatial/small-C shapes (VAE 256^2+),
+    # on 16^2/8^2 (M underfills the MXU), and at batch >= 8.
+    if not (1024 <= h * w <= 9216) or not (320 <= c < 2 * cout) or b > 4:
         return False
     c3p = (3 * c + 127) // 128 * 128
-    bh = _pick_bh(h, w, c3p, x.dtype.itemsize)
-    bn = _pick_bn(cout, c3p, x.dtype.itemsize)
+    bh, bn = _pick_blocks(h, w, c3p, cout, x.dtype.itemsize)
     return bh > 0 and bn > 0
 
 
@@ -107,7 +147,10 @@ def _conv3x3_call(x3, w3, bias, *, bh: int, bn: int, h: int, out_dtype):
     b, hp2, w, c3 = x3.shape
     cout = w3.shape[-1]
     grid = (b, h // bh, cout // bn)
-    kernel = functools.partial(_conv3x3_kernel, bh=bh, w=w, c3=c3)
+    n_i = h // bh
+    kernel = functools.partial(
+        _conv3x3_kernel, bh=bh, w=w, c3=c3, n_i=n_i, n_win=b * n_i
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -119,12 +162,13 @@ def _conv3x3_call(x3, w3, bias, *, bh: int, bn: int, h: int, out_dtype):
         out_specs=pl.BlockSpec((1, bh, w, bn), lambda g, i, n: (g, i, 0, n)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((bh + 2, w, c3), x3.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, bh + 2, w, c3), x3.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((bh * w, bn), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            # all arbitrary: the prefetch chain assumes sequential window order
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w * c3 * 3 * cout,
@@ -154,8 +198,7 @@ def _conv3x3(x, kernel, bias):
         w3 = jnp.pad(w3, ((0, 0), (0, c3p - 3 * c), (0, 0)))
     b2 = (bias if bias is not None else jnp.zeros((cout,), x.dtype))
     b2 = b2.astype(jnp.float32).reshape(1, cout)
-    bh = _pick_bh(h, w, c3p, x.dtype.itemsize)
-    bn = _pick_bn(cout, c3p, x.dtype.itemsize)
+    bh, bn = _pick_blocks(h, w, c3p, cout, x.dtype.itemsize)
     return _conv3x3_call(x3, w3, b2, bh=bh, bn=bn, h=h, out_dtype=x.dtype)
 
 

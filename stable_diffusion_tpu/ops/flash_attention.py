@@ -386,7 +386,11 @@ def _flash(q, k, v, scale):
 def _xla_ref(q, k, v, scale):
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits * jnp.float32(scale), axis=-1)
-    return jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    # the Pallas kernels emit q.dtype; the recompute-based VJP must agree on
+    # the output aval even when k/v arrive in a different dtype (e.g. f32
+    # LoRA-merged q against frozen bf16 text k/v in training)
+    return out.astype(q.dtype)
 
 
 def _flash_fwd(q, k, v, scale):

@@ -434,6 +434,7 @@ class StableDiffusion:
         seed: int = 0,
         batch_size: int = 1,
         cond_ids=None,
+        output_dtype: str = "float32",
     ) -> np.ndarray:
         """SwiftBrush one-step generation (reference diffusion.py:57-129)."""
         h, w = img_size
@@ -444,6 +445,7 @@ class StableDiffusion:
         imgs = _one_step_full_jit(
             self.params, jnp.asarray(cond_ids), key, lat_shape, batch_size,
             self.unet_config, self.text_config, self.vae_config, self.impl, self.dtype,
+            output_dtype == "uint8",
         )
         return np.asarray(imgs)
 
@@ -828,9 +830,9 @@ def _one_step_jit(unet_params, vae_params, latents, context, ucfg, vcfg, impl):
     return vae_m.decode(vae_params, x0, vcfg, impl=impl)
 
 
-@functools.partial(jax.jit, static_argnums=tuple(range(3, 10)))
+@functools.partial(jax.jit, static_argnums=tuple(range(3, 11)))
 def _one_step_full_jit(params, cond_ids, key, lat_shape, batch_size, ucfg, tcfg,
-                       vcfg, impl, dtype):
+                       vcfg, impl, dtype, out_u8=False):
     """SwiftBrush one-step as one program: text encode + latents + UNet +
     decode (reference diffusion.py:57-129)."""
     context = clip_m.text_model_apply(
@@ -842,4 +844,4 @@ def _one_step_full_jit(params, cond_ids, key, lat_shape, batch_size, ucfg, tcfg,
     imgs = _one_step_jit(
         params["unet"], params["vae"], latents, context.astype(dtype), ucfg, vcfg, impl
     )
-    return (imgs.astype(jnp.float32) + 1.0) / 2.0
+    return _finalize_images(imgs, out_u8)
