@@ -130,13 +130,16 @@ def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
     cout = kernel.shape[-1]
     if w % 8:
         return False
-    # Measured win envelope (benchmarks/microbench_conv.py): the kernel beats
-    # the XLA conv at the UNet's 32^2..96^2 stages for model batch <= 4 when
-    # the input channel count is not blown up by a skip concat (c < 2*cout:
-    # big-K convs are weight-streaming-bound and XLA schedules them better).
-    # It loses on bandwidth-bound large-spatial/small-C shapes (VAE 256^2+),
-    # on 16^2/8^2 (M underfills the MXU), and at batch >= 8.
-    if not (1024 <= h * w <= 9216) or not (320 <= c < 2 * cout) or b > 4:
+    # Measured envelope.  Standalone (benchmarks/microbench_conv.py) the
+    # kernel only wins at 32^2..64^2 with moderate K — but IN-PROGRAM a
+    # mixed kernel/XLA conv path loses more to layout churn (XLA assigns
+    # T(2,128) spatial layouts around its convs, forcing relayouts at every
+    # Pallas boundary) than the slower shapes cost: full-step time is 18.9 ms
+    # with the kernel on all 16^2..96^2 resblock convs vs 21.7 ms with only
+    # the standalone winners.  So: keep layout coherence for model batch <= 4;
+    # at batch >= 8 (serving/one-step configs) XLA wins in-program too, and
+    # bandwidth-bound large-spatial/small-C VAE shapes (256^2+) stay XLA.
+    if not (256 <= h * w <= 9216) or c < 320 or b > 4:
         return False
     c3p = (3 * c + 127) // 128 * 128
     bh, bn = _pick_blocks(h, w, c3p, cout, x.dtype.itemsize)

@@ -35,20 +35,20 @@ def test_supported_gating():
     assert not C.supported(x, k, 2, "SAME")          # stride
     assert not C.supported(x, jnp.zeros((1, 1, 320, 320), jnp.bfloat16), 1, "SAME")
     assert not C.supported(jnp.zeros((2, 64, 63, 320), jnp.bfloat16)[:, :, :63], k, 1, "SAME")  # W % 8
-    # outside the measured win envelope: big-K concat convs, batch >= 8,
-    # 16^2-and-below spatial, VAE large-spatial/small-C
-    assert not C.supported(jnp.zeros((2, 64, 64, 960), jnp.bfloat16),
-                           jnp.zeros((3, 3, 960, 320), jnp.bfloat16), 1, "SAME")
+    # outside the envelope: batch >= 8, 8^2 spatial, VAE large-spatial/small-C
     assert not C.supported(jnp.zeros((8, 64, 64, 320), jnp.bfloat16), k, 1, "SAME")
-    assert not C.supported(jnp.zeros((2, 16, 16, 1280), jnp.bfloat16),
+    assert not C.supported(jnp.zeros((2, 8, 8, 1280), jnp.bfloat16),
                            jnp.zeros((3, 3, 1280, 1280), jnp.bfloat16), 1, "SAME")
     assert not C.supported(jnp.zeros((1, 512, 512, 128), jnp.bfloat16),
                            jnp.zeros((3, 3, 128, 128), jnp.bfloat16), 1, "SAME")
-    # in the envelope: 32^2/96^2 stages, upsample convs
+    # big-K concat convs whose weight blocks cannot fit VMEM: XLA
+    assert not C.supported(jnp.zeros((2, 64, 64, 960), jnp.bfloat16),
+                           jnp.zeros((3, 3, 960, 320), jnp.bfloat16), 1, "SAME")
+    # in the envelope (layout coherence): 16^2..96^2 resblock/upsample convs
     assert C.supported(jnp.zeros((2, 32, 32, 640), jnp.bfloat16),
                        jnp.zeros((3, 3, 640, 640), jnp.bfloat16), 1, "SAME")
     assert C.supported(jnp.zeros((2, 96, 96, 320), jnp.bfloat16), k, 1, "SAME")
-    assert C.supported(jnp.zeros((2, 32, 32, 1280), jnp.bfloat16),
+    assert C.supported(jnp.zeros((2, 16, 16, 1280), jnp.bfloat16),
                        jnp.zeros((3, 3, 1280, 1280), jnp.bfloat16), 1, "SAME")
 
 
