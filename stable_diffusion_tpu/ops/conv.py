@@ -33,10 +33,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _conv3x3_kernel(x3_hbm, w_ref, b_ref, o_ref, xwin, sem, acc_ref, *,
-                    bh: int, w: int, c3: int, n_i: int, n_win: int):
+                    bh: int, w: int, kc: int, n_i: int, n_win: int, n_k: int):
     g = pl.program_id(0)
     i = pl.program_id(1)
     n = pl.program_id(2)
+    k = pl.program_id(3)
 
     def _copy(win_idx, slot):
         # rows [i*bh, i*bh + bh + 2) of the padded input for window win_idx
@@ -50,7 +51,7 @@ def _conv3x3_kernel(x3_hbm, w_ref, b_ref, o_ref, xwin, sem, acc_ref, *,
     win = g * n_i + i
     slot = jax.lax.rem(win, 2)
 
-    @pl.when(n == 0)
+    @pl.when(jnp.logical_and(n == 0, k == 0))
     def _load():
         # double-buffered input windows: window 0 is copied synchronously,
         # each window then prefetches its successor so the DMA for window
@@ -66,23 +67,39 @@ def _conv3x3_kernel(x3_hbm, w_ref, b_ref, o_ref, xwin, sem, acc_ref, *,
             _copy(win + 1, 1 - slot).start()
 
     for dy in range(3):
-        xs = xwin[slot, pl.ds(dy, bh)].reshape(bh * w, c3)
+        # K-blocked tap matmul: lanes [k*kc, (k+1)*kc) of the im2col window
+        # against weight rows of the same K range (kc is a 128 multiple, so
+        # the lane slice is always aligned; sliced on the ref — value-level
+        # dynamic_slice has no Pallas lowering)
+        if n_k > 1:
+            xs = xwin[slot, pl.ds(dy, bh), :, pl.ds(k * kc, kc)].reshape(bh * w, kc)
+        else:
+            xs = xwin[slot, pl.ds(dy, bh)].reshape(bh * w, kc)
         part = jax.lax.dot_general(
             xs, w_ref[dy], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         if dy == 0:
-            acc_ref[:] = part
+            if n_k > 1:
+                acc_ref[:] = jnp.where(k == 0, part, acc_ref[:] + part)
+            else:
+                acc_ref[:] = part
         else:
             acc_ref[:] = acc_ref[:] + part
-    acc = acc_ref[:] + b_ref[:]  # (BH*W, BN) + (1, BN)
-    o_ref[0] = acc.astype(o_ref.dtype).reshape(bh, w, acc.shape[-1])
+
+    @pl.when(k == n_k - 1)
+    def _store():
+        acc = acc_ref[:] + b_ref[:]  # (BH*W, BN) + (1, BN)
+        o_ref[0] = acc.astype(o_ref.dtype).reshape(bh, w, acc.shape[-1])
 
 
 def _pick_blocks(h: int, w: int, c3: int, cout: int, itemsize: int):
-    """Joint (bh, bn) choice under one VMEM budget: 2-slot input window
+    """Joint (bh, bn, kc) choice under one VMEM budget: 2-slot input window
     scratch + double-buffered weight blocks + f32 acc + double-buffered
-    output blocks must fit.  Returns (0, 0) when nothing fits."""
+    output blocks must fit.  kc < c3 enables K-blocked weights for big-K
+    skip-concat convs whose full weight slab cannot fit (e.g. 2560->1280 at
+    16^2: 59 MB of weights stream in (3, kc, bn) blocks while the full-K
+    input window stays resident).  Returns (0, 0, 0) when nothing fits."""
     # 16 MB VMEM minus ~4 MB empirical headroom for Mosaic stack temporaries
     # (the dot result and reshaped tap views are not modeled below; a 14 MB
     # budget compiled to a measured 16.3 MB allocation and OOM'd)
@@ -93,15 +110,7 @@ def _pick_blocks(h: int, w: int, c3: int, cout: int, itemsize: int):
         c3p = (c3 + lane - 1) // lane * lane
         return (bh + 2) * w * c3p * itemsize
 
-    # bn must be the full cout or a 128 multiple (Pallas block divisibility).
-    # Prefer large row blocks (fewer windows => less weight re-streaming,
-    # bigger M) with bn >= 256 first; fall back to skinnier bn only if needed.
-    def fits(bh, bn):
-        wt = 2 * 3 * c3 * bn * itemsize  # double-buffered
-        acc = bh * w * bn * 4
-        outb = 2 * bh * w * bn * itemsize
-        return 2 * win_bytes(bh) + wt + acc + outb <= budget
-
+    # bn must be the full cout or a 128 multiple (Pallas block divisibility)
     def bns():
         for bn in (cout, 1280, 640, 512, 384, 256, 128):
             if bn != cout and bn % lane:
@@ -110,15 +119,46 @@ def _pick_blocks(h: int, w: int, c3: int, cout: int, itemsize: int):
                 continue
             yield bn
 
-    for min_bn in (256, 1):
+    def kcs():
+        # kc = c3 (no K blocking) or a 128-multiple divisor of c3
+        yield c3
+        kc = (c3 // 2 + lane - 1) // lane * lane
+        while kc >= 512:
+            if c3 % kc == 0:
+                yield kc
+            kc -= lane
+
+    def fits(bh, bn, kc):
+        wt = 2 * 3 * kc * bn * itemsize  # double-buffered
+        acc = bh * w * bn * 4
+        outb = 2 * bh * w * bn * itemsize
+        return 2 * win_bytes(bh) + wt + acc + outb <= budget
+
+    # prefer: no K blocking, then the largest row block with M = bh*w >= 256
+    # (smaller M underfills the MXU sublanes), then the widest bn
+    for kc in kcs():
         bh = h
-        while bh >= 2:
+        while bh >= 2 and bh * w >= 256:
             if h % bh == 0:
                 for bn in bns():
-                    if bn >= min_bn and fits(bh, bn):
-                        return bh, bn
+                    if fits(bh, bn, kc):
+                        return bh, bn, kc
             bh //= 2
-    return 0, 0
+    return 0, 0, 0
+
+
+
+def _plan(h: int, w: int, c: int, cout: int, itemsize: int):
+    """(c3p, bh, bn, kc) — pads K = 3C up to the smallest alignment that
+    yields a feasible block plan.  Escalating the pad to a 512/1024 multiple
+    unlocks K-block divisors when 3C's 128-multiple has none (e.g. 3*960 =
+    2880 -> 2944 = 23*128, prime in 128s; 3072 = 24*128 splits cleanly)."""
+    for align in (128, 512, 1024):
+        c3p = (3 * c + align - 1) // align * align
+        bh, bn, kc = _pick_blocks(h, w, c3p, cout, itemsize)
+        if bh:
+            return c3p, bh, bn, kc
+    return 0, 0, 0, 0
 
 
 def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
@@ -141,28 +181,28 @@ def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
     # bandwidth-bound large-spatial/small-C VAE shapes (256^2+) stay XLA.
     if not (256 <= h * w <= 9216) or c < 320 or b > 4:
         return False
-    c3p = (3 * c + 127) // 128 * 128
-    bh, bn = _pick_blocks(h, w, c3p, cout, x.dtype.itemsize)
+    c3p, bh, bn, kc = _plan(h, w, c, cout, x.dtype.itemsize)
     return bh > 0 and bn > 0
 
 
-def _conv3x3_call(x3, w3, bias, *, bh: int, bn: int, h: int, out_dtype):
+def _conv3x3_call(x3, w3, bias, *, bh: int, bn: int, kc: int, h: int, out_dtype):
     b, hp2, w, c3 = x3.shape
     cout = w3.shape[-1]
-    grid = (b, h // bh, cout // bn)
+    n_k = c3 // kc
+    grid = (b, h // bh, cout // bn, n_k)
     n_i = h // bh
     kernel = functools.partial(
-        _conv3x3_kernel, bh=bh, w=w, c3=c3, n_i=n_i, n_win=b * n_i
+        _conv3x3_kernel, bh=bh, w=w, kc=kc, n_i=n_i, n_win=b * n_i, n_k=n_k
     )
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec((3, c3, bn), lambda g, i, n: (0, 0, n)),
-            pl.BlockSpec((1, bn), lambda g, i, n: (0, n)),
+            pl.BlockSpec((3, kc, bn), lambda g, i, n, k: (0, k, n)),
+            pl.BlockSpec((1, bn), lambda g, i, n, k: (0, n)),
         ],
-        out_specs=pl.BlockSpec((1, bh, w, bn), lambda g, i, n: (g, i, 0, n)),
+        out_specs=pl.BlockSpec((1, bh, w, bn), lambda g, i, n, k: (g, i, 0, n)),
         out_shape=jax.ShapeDtypeStruct((b, h, w, cout), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((2, bh + 2, w, c3), x3.dtype),
@@ -171,7 +211,7 @@ def _conv3x3_call(x3, w3, bias, *, bh: int, bn: int, h: int, out_dtype):
         ],
         compiler_params=pltpu.CompilerParams(
             # all arbitrary: the prefetch chain assumes sequential window order
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * h * w * c3 * 3 * cout,
@@ -194,15 +234,15 @@ def _conv3x3(x, kernel, bias):
     )
     w3 = kernel.astype(x.dtype).reshape(3, 3 * c, cout)
     # Mosaic DMA slices must be 128-aligned on the lane dim: pad K = 3C up
-    # (e.g. 960 -> 1024); the zero K rows contribute nothing to the matmul
-    c3p = (3 * c + 127) // 128 * 128
+    # (e.g. 960 -> 1024); the zero K rows contribute nothing to the matmul.
+    # _plan may escalate the pad further to unlock K-block divisors.
+    c3p, bh, bn, kc = _plan(h, w, c, cout, x.dtype.itemsize)
     if c3p != 3 * c:
         x3 = jnp.pad(x3, ((0, 0), (0, 0), (0, 0), (0, c3p - 3 * c)))
         w3 = jnp.pad(w3, ((0, 0), (0, c3p - 3 * c), (0, 0)))
     b2 = (bias if bias is not None else jnp.zeros((cout,), x.dtype))
     b2 = b2.astype(jnp.float32).reshape(1, cout)
-    bh, bn = _pick_blocks(h, w, c3p, cout, x.dtype.itemsize)
-    return _conv3x3_call(x3, w3, b2, bh=bh, bn=bn, h=h, out_dtype=x.dtype)
+    return _conv3x3_call(x3, w3, b2, bh=bh, bn=bn, kc=kc, h=h, out_dtype=x.dtype)
 
 
 def _xla_conv(x, kernel, bias):

@@ -41,10 +41,10 @@ def test_supported_gating():
                            jnp.zeros((3, 3, 1280, 1280), jnp.bfloat16), 1, "SAME")
     assert not C.supported(jnp.zeros((1, 512, 512, 128), jnp.bfloat16),
                            jnp.zeros((3, 3, 128, 128), jnp.bfloat16), 1, "SAME")
-    # big-K concat convs whose weight blocks cannot fit VMEM: XLA
-    assert not C.supported(jnp.zeros((2, 64, 64, 960), jnp.bfloat16),
-                           jnp.zeros((3, 3, 960, 320), jnp.bfloat16), 1, "SAME")
-    # in the envelope (layout coherence): 16^2..96^2 resblock/upsample convs
+    # in the envelope (layout coherence): 16^2..96^2 resblock/upsample convs,
+    # incl. big-K skip-concat shapes via K-blocked weights + c3p escalation
+    assert C.supported(jnp.zeros((2, 64, 64, 960), jnp.bfloat16),
+                       jnp.zeros((3, 3, 960, 320), jnp.bfloat16), 1, "SAME")
     assert C.supported(jnp.zeros((2, 32, 32, 640), jnp.bfloat16),
                        jnp.zeros((3, 3, 640, 640), jnp.bfloat16), 1, "SAME")
     assert C.supported(jnp.zeros((2, 96, 96, 320), jnp.bfloat16), k, 1, "SAME")
