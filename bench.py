@@ -65,14 +65,19 @@ def build_pipeline(sd_version="1.5", dtype=jnp.bfloat16, int8=""):
     params = _zeros_like_tree(shapes)
     if int8:
         # BENCH_INT8=1: weight-only int8 UNet linears.
-        # BENCH_INT8=static: W8A8 — activations also int8 with static scales
-        # (the MXU double-rate path); scale values don't affect perf.
+        # BENCH_INT8=static: W8A8 linears — activations also int8 with static
+        # scales (the MXU double-rate path); scale values don't affect perf.
+        # BENCH_INT8=full: W8A8 linears AND resblock convs (Pallas int8
+        # conv kernel: half the im2col DMA + double MXU rate).
         from stable_diffusion_tpu.utils.quantize_model import (
-            attach_act_scales, quantize_unet)
+            attach_act_scales, quantize_convs, quantize_unet)
 
         params["unet"] = quantize_unet(params["unet"])
         if int8 == "static":
             params["unet"] = attach_act_scales(params["unet"])
+        elif int8 == "full":
+            params["unet"] = quantize_convs(params["unet"])
+            params["unet"] = attach_act_scales(params["unet"], convs=True)
     params = jax.device_put(params)
     return StableDiffusion(
         params=params, unet_config=ucfg, text_config=tcfg, vae_config=vcfg,

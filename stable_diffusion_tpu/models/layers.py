@@ -77,8 +77,16 @@ def conv2d(
     ``padding`` may be "SAME", "VALID", an int (symmetric), or an explicit
     ((top, bottom), (left, right)) pair — the VAE downsample uses the
     asymmetric ((0,1),(0,1)) pad of the reference (models/vae/vae.py:23-28).
+
+    Weight-only int8 form {"kernel_q", "kernel_scale"} dequantizes inline
+    (the convert+mul fuses into the conv).
     """
-    kernel = params["kernel"].astype(x.dtype)
+    if "kernel" in params:
+        kernel = params["kernel"].astype(x.dtype)
+    else:
+        kernel = (params["kernel_q"].astype(jnp.float32)
+                  * params["kernel_scale"].astype(jnp.float32)
+                  ).reshape(params["kernel_q"].shape).astype(x.dtype)
     if kernel.shape[0] == kernel.shape[1] == 1 and stride == 1:
         # 1x1 conv == per-pixel matmul.  Expressing it as a dot keeps XLA:TPU
         # from assigning spatial conv layouts (T(2,128) tiles) to the

@@ -245,6 +245,133 @@ def _conv3x3(x, kernel, bias):
     return _conv3x3_call(x3, w3, b2, bh=bh, bn=bn, kc=kc, h=h, out_dtype=x.dtype)
 
 
+def _conv3x3_q_kernel(x3_hbm, w_ref, s_ref, b_ref, o_ref, xwin, sem, acc_ref, *,
+                      bh: int, w: int, kc: int, n_i: int, n_win: int, n_k: int):
+    """int8 x int8 -> int32 variant (static W8A8): the im2col windows are
+    int8 in HBM (half the DMA bytes of bf16) and the tap matmuls run at the
+    MXU's double int8 rate; the epilogue applies the folded
+    act_scale * per-channel weight scale and bias in f32."""
+    g = pl.program_id(0)
+    i = pl.program_id(1)
+    n = pl.program_id(2)
+    k = pl.program_id(3)
+
+    def _copy(win_idx, slot):
+        gg = win_idx // n_i
+        ii = win_idx - gg * n_i
+        return pltpu.make_async_copy(
+            x3_hbm.at[gg, pl.ds(ii * bh, bh + 2)], xwin.at[slot], sem.at[slot]
+        )
+
+    win = g * n_i + i
+    slot = jax.lax.rem(win, 2)
+
+    @pl.when(jnp.logical_and(n == 0, k == 0))
+    def _load():
+        @pl.when(win == 0)
+        def _first():
+            _copy(win, slot).start()
+
+        _copy(win, slot).wait()
+
+        @pl.when(win + 1 < n_win)
+        def _prefetch():
+            _copy(win + 1, 1 - slot).start()
+
+    for dy in range(3):
+        if n_k > 1:
+            xs = xwin[slot, pl.ds(dy, bh), :, pl.ds(k * kc, kc)].reshape(bh * w, kc)
+        else:
+            xs = xwin[slot, pl.ds(dy, bh)].reshape(bh * w, kc)
+        part = jax.lax.dot_general(
+            xs, w_ref[dy], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        if dy == 0:
+            if n_k > 1:
+                acc_ref[:] = jnp.where(k == 0, part, acc_ref[:] + part)
+            else:
+                acc_ref[:] = part
+        else:
+            acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(k == n_k - 1)
+    def _store():
+        acc = acc_ref[:].astype(jnp.float32) * s_ref[:] + b_ref[:]
+        o_ref[0] = acc.astype(o_ref.dtype).reshape(bh, w, acc.shape[-1])
+
+
+def _conv3x3_q_call(x3, w3, scales, bias, *, bh, bn, kc, h, out_dtype):
+    b, hp2, w, c3 = x3.shape
+    cout = w3.shape[-1]
+    n_k = c3 // kc
+    grid = (b, h // bh, cout // bn, n_k)
+    n_i = h // bh
+    kernel = functools.partial(
+        _conv3x3_q_kernel, bh=bh, w=w, kc=kc, n_i=n_i, n_win=b * n_i, n_k=n_k
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, kc, bn), lambda g, i, n, k: (0, k, n)),
+            pl.BlockSpec((1, bn), lambda g, i, n, k: (0, n)),
+            pl.BlockSpec((1, bn), lambda g, i, n, k: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((1, bh, w, bn), lambda g, i, n, k: (g, i, 0, n)),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cout), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bh + 2, w, c3), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((bh * w, bn), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * c3 * 3 * cout,
+            bytes_accessed=b * hp2 * w * c3 + b * h * w * cout * 2,
+            transcendentals=0,
+        ),
+    )(x3, w3, scales, bias)
+
+
+def quant_supported(x, kernel_q, stride: int, padding) -> bool:
+    """W8A8 kernel coverage: the bf16 envelope plus int8 tiling constraints
+    (sublane dim = W must be a multiple of 32 for the (32, 128) int8 tile)."""
+    if not supported(x, kernel_q, stride, padding):
+        return False
+    return x.shape[2] % 32 == 0
+
+
+def _conv3x3_q(xn, kernel_q, kernel_scale, act_scale, bias):
+    """xn: normalized activations (bf16/f32); weights int8 HWIO; act_scale
+    scalar f32 (calibrated absmax); kernel_scale (1,1,1,Cout)-broadcastable."""
+    b, h, w, c = xn.shape
+    cout = kernel_q.shape[-1]
+    s_x = jnp.maximum(act_scale.astype(jnp.float32) / 127.0, 1e-12)
+    xq = jnp.round(
+        jnp.clip(xn.astype(jnp.float32) / s_x, -127.0, 127.0)
+    ).astype(jnp.int8)
+    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    x3 = jnp.concatenate(
+        [xp[:, :, 0:w, :], xp[:, :, 1 : w + 1, :], xp[:, :, 2 : w + 2, :]],
+        axis=-1,
+    )
+    w3 = kernel_q.reshape(3, 3 * c, cout)
+    c3p, bh, bn, kc = _plan(h, w, c, cout, 1)
+    if c3p != 3 * c:
+        x3 = jnp.pad(x3, ((0, 0), (0, 0), (0, 0), (0, c3p - 3 * c)))
+        w3 = jnp.pad(w3, ((0, 0), (0, c3p - 3 * c), (0, 0)))
+    scales = (s_x * kernel_scale.astype(jnp.float32).reshape(-1)).reshape(1, cout)
+    b2 = (bias if bias is not None else jnp.zeros((cout,), xn.dtype))
+    b2 = b2.astype(jnp.float32).reshape(1, cout)
+    return _conv3x3_q_call(
+        x3, w3, scales, b2, bh=bh, bn=bn, kc=kc, h=h, out_dtype=xn.dtype
+    )
+
+
 def _xla_conv(x, kernel, bias):
     y = jax.lax.conv_general_dilated(
         x, kernel.astype(x.dtype), (1, 1), "SAME",
@@ -320,11 +447,30 @@ def gn_silu_conv3x3(
     reference models/unet/unet.py:174-189).  Pallas conv kernel with the
     normalize+SiLU folded into its im2col build; stats via the streaming
     Pallas GN kernel.  Falls back to group_norm_silu + XLA conv off-TPU or
-    for uncovered shapes."""
-    kernel = conv_params["kernel"]
+    for uncovered shapes.
+
+    Static-W8A8 form: when ``conv_params`` carries {"kernel_q",
+    "kernel_scale", "act_scale"} (utils/quantize_model.quantize_convs +
+    calibration), the conv runs as int8 x int8 -> int32 tap matmuls — half
+    the im2col DMA bytes and the MXU's double int8 rate (inference only)."""
+    if _CAPTURE is not None:
+        _capture_conv_input(gn_params, conv_params, x, num_groups, eps)
     bias = conv_params.get("bias")
     on_tpu = jax.default_backend() in ("tpu", "axon")
     want = impl in ("pallas", "flash") or (impl == "auto" and on_tpu)
+    quant = "kernel_q" in conv_params and "act_scale" in conv_params
+    if (want and quant and x.shape[-1] % num_groups == 0
+            and quant_supported(x, conv_params["kernel_q"], 1, "SAME")):
+        from stable_diffusion_tpu.ops.groupnorm import gn_scale_shift
+
+        ss = gn_scale_shift(gn_params, x, num_groups=num_groups, eps=eps)
+        xf = x.astype(jnp.float32)
+        xn = xf * ss[:, 0][:, None, None, :] + ss[:, 1][:, None, None, :]
+        xn = (xn * jax.nn.sigmoid(xn)).astype(x.dtype)
+        return _conv3x3_q(xn, conv_params["kernel_q"],
+                          conv_params["kernel_scale"],
+                          conv_params["act_scale"], bias)
+    kernel = _materialize_kernel(conv_params, x.dtype)
     if (want and supported(x, kernel, 1, "SAME")
             and x.shape[-1] % num_groups == 0):
         return _gn_silu_conv(gn_params["scale"], gn_params["bias"], x,
@@ -335,7 +481,32 @@ def gn_silu_conv3x3(
                         silu=True, impl=impl)
     from stable_diffusion_tpu.models import layers
 
-    return layers.conv2d(conv_params, h)
+    return layers.conv2d(dict(conv_params, kernel=kernel), h)
+
+
+def _materialize_kernel(conv_params, dtype):
+    """HWIO kernel from either the plain or the int8-quantized form (the
+    dequant convert+mul fuses into the consuming conv/matmul)."""
+    if "kernel" in conv_params:
+        return conv_params["kernel"]
+    return (conv_params["kernel_q"].astype(jnp.float32)
+            * conv_params["kernel_scale"].astype(jnp.float32)).astype(dtype)
+
+
+# Calibration hook (utils/quantize_model.calibrate_static_conv_activations):
+# when set to a dict, every gn_silu_conv3x3 call records the post-GN-SiLU
+# activation absmax of its conv input, keyed by the conv param subtree id.
+_CAPTURE = None
+
+
+def _capture_conv_input(gn_params, conv_params, x, num_groups, eps):
+    from stable_diffusion_tpu.models import layers
+
+    y = layers.group_norm(gn_params, x, num_groups=num_groups, eps=eps)
+    y = layers.silu(y)
+    a = float(jnp.max(jnp.abs(y.astype(jnp.float32))))
+    key = id(conv_params)
+    _CAPTURE[key] = max(_CAPTURE.get(key, 0.0), a)
 
 
 def conv3x3(
@@ -351,7 +522,7 @@ def conv3x3(
     impl: "xla" forces the XLA path; "pallas" requires kernel coverage;
     "auto" uses the kernel on TPU when the shape qualifies.
     """
-    kernel = params["kernel"]
+    kernel = _materialize_kernel(params, x.dtype)
     bias = params.get("bias")
     on_tpu = jax.default_backend() in ("tpu", "axon")
     want = impl in ("pallas", "flash") or (impl == "auto" and on_tpu)
@@ -361,4 +532,4 @@ def conv3x3(
         raise ValueError(f"conv3x3 kernel does not cover x={x.shape} k={kernel.shape}")
     from stable_diffusion_tpu.models import layers
 
-    return layers.conv2d(params, x, stride=stride, padding=padding)
+    return layers.conv2d(dict(params, kernel=kernel), x, stride=stride, padding=padding)

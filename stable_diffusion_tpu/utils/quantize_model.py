@@ -132,8 +132,9 @@ def calibrate_static_activations(apply_fn: Callable, params, batches):
     return attach(params)
 
 
-def attach_act_scales(params, scale: float = 1.0):
-    """Attach a fixed "act_scale" to every rank-2 linear (no calibration).
+def attach_act_scales(params, scale: float = 1.0, *, convs: bool = False):
+    """Attach a fixed "act_scale" to every rank-2 linear — and, with
+    ``convs=True``, every 3x3 conv kernel — without calibration.
 
     Use cases: perf benchmarking of the W8A8 path with random weights (the
     scale value does not affect speed), or as a conservative default before
@@ -142,7 +143,8 @@ def attach_act_scales(params, scale: float = 1.0):
     def walk(tree):
         if isinstance(tree, dict):
             k = tree.get("kernel", tree.get("kernel_q"))
-            if k is not None and getattr(k, "ndim", 0) == 2:
+            nd = getattr(k, "ndim", 0)
+            if k is not None and (nd == 2 or (convs and nd == 4 and k.shape[:2] == (3, 3))):
                 out = dict(tree)
                 out["act_scale"] = jnp.asarray(scale, jnp.float32)
                 return out
@@ -150,6 +152,57 @@ def attach_act_scales(params, scale: float = 1.0):
         return tree
 
     return walk(params)
+
+
+def quantize_convs(params):
+    """Per-output-channel int8 on all 3x3 conv kernels (HWIO rank-4).
+
+    Combined with a conv "act_scale" (calibrate_static_conv_activations or
+    attach_act_scales(convs=True)), the resblock convs run as int8 x int8
+    tap matmuls on the Pallas conv kernel (ops/conv.py W8A8 path) — the
+    conv-side realization of the reference's static-PTQ direction
+    (utils/quantize_model.py:21-34)."""
+
+    def walk(tree):
+        if isinstance(tree, dict):
+            k = tree.get("kernel")
+            if k is not None and getattr(k, "ndim", 0) == 4 and k.shape[:2] == (3, 3):
+                q, scale = quantize_tensor(k.reshape(-1, k.shape[-1]), axis=0)
+                out = {k2: v for k2, v in tree.items() if k2 != "kernel"}
+                out["kernel_q"] = q.reshape(k.shape)
+                out["kernel_scale"] = scale  # (1, Cout)
+                return out
+            return {k2: walk(v) for k2, v in tree.items()}
+        return tree
+
+    return walk(params)
+
+
+def calibrate_static_conv_activations(apply_fn: Callable, params, batches):
+    """Record post-GN-SiLU activation absmax for every resblock conv by
+    running ``apply_fn`` eagerly over calibration batches, and return params
+    with conv-level "act_scale" leaves attached (the conv analog of
+    calibrate_static_activations)."""
+    from stable_diffusion_tpu.ops import conv as conv_ops
+
+    conv_ops._CAPTURE = {}
+    try:
+        for batch in batches:
+            apply_fn(params, batch)
+        records = dict(conv_ops._CAPTURE)
+    finally:
+        conv_ops._CAPTURE = None
+
+    def attach(tree):
+        if isinstance(tree, dict):
+            if id(tree) in records:
+                out = dict(tree)
+                out["act_scale"] = jnp.asarray(records[id(tree)], jnp.float32)
+                return out
+            return {k: attach(v) for k, v in tree.items()}
+        return tree
+
+    return attach(params)
 
 
 def quantize_unet_static(params, ucfg, sample_batches, *, impl="xla"):

@@ -72,6 +72,44 @@ def test_gn_silu_conv3x3_fallback(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
+def test_quantized_conv_fallback_matches_dequant(rng):
+    """W8A8 conv params route through the dequantized fallback on CPU and
+    match an explicit dequantize + gn-silu-conv."""
+    from stable_diffusion_tpu.utils.quantize_model import (
+        attach_act_scales, quantize_convs)
+
+    key = jax.random.key(3)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)), jnp.float32)
+    gp = {"scale": jnp.ones((32,), jnp.float32), "bias": jnp.zeros((32,), jnp.float32)}
+    cp = _conv_params(key, 32, 64)
+    qp = attach_act_scales(quantize_convs({"c": cp}), convs=True)["c"]
+    assert "kernel_q" in qp and "act_scale" in qp and "kernel" not in qp
+    got = C.gn_silu_conv3x3(gp, qp, x, num_groups=8, eps=1e-5, impl="auto")
+    deq = (qp["kernel_q"].astype(jnp.float32) * qp["kernel_scale"]).reshape(cp["kernel"].shape)
+    want = C.gn_silu_conv3x3(gp, {"kernel": deq, "bias": cp["bias"]}, x,
+                             num_groups=8, eps=1e-5, impl="auto")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_conv_calibration_capture(rng):
+    """calibrate_static_conv_activations records per-conv absmax."""
+    from stable_diffusion_tpu.utils.quantize_model import (
+        calibrate_static_conv_activations)
+
+    key = jax.random.key(4)
+    gp = {"scale": jnp.ones((32,), jnp.float32), "bias": jnp.zeros((32,), jnp.float32)}
+    cp = _conv_params(key, 32, 32)
+    params = {"gn": gp, "conv": cp}
+
+    def apply_fn(p, x):
+        return C.gn_silu_conv3x3(p["gn"], p["conv"], x, num_groups=8, eps=1e-5)
+
+    batches = [jnp.asarray(rng.standard_normal((1, 8, 8, 32)), jnp.float32)
+               for _ in range(2)]
+    out = calibrate_static_conv_activations(apply_fn, params, batches)
+    assert "act_scale" in out["conv"] and float(out["conv"]["act_scale"]) > 0
+
+
 def test_gn_silu_conv3x3_grads(rng):
     """The custom-VJP recompute path differentiates."""
     key = jax.random.key(2)
