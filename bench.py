@@ -24,16 +24,18 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Round-1 recorded numbers (BASELINE.md "Measured" table): every non-headline
-# config reports vs_baseline against its OWN previous-round number, so the
-# ratio means "speedup over round 1".  The headline sd15_txt2img config keeps
-# the 1.5 img/s/chip north-star target as its denominator (BASELINE.json).
+# Previous-round numbers (BASELINE.md "Measured (round 2)" table): every
+# non-headline config reports vs_baseline against its OWN previous-round
+# number, so the ratio means "speedup over last round".  UPDATE THESE from
+# BASELINE.md when a round's final sweep is recorded there.  The headline
+# sd15_txt2img config keeps the 1.5 img/s/chip north-star target as its
+# denominator (BASELINE.json).
 NORTH_STAR_IMG_S = 1.5
-ROUND1 = {
-    "sd15_img2img": 1.195,     # img/s, BASELINE.md config 2
-    "sd21_txt2img_768": 0.273, # img/s, config 3
-    "one_step_b32": 10.2,      # img/s, config 5
-    "train_step": 2.69,        # steps/s, config 4
+PREV_ROUND = {
+    "sd15_img2img": 1.334,     # img/s, BASELINE.md round-2 config 2
+    "sd21_txt2img_768": 0.329, # img/s, round-2 config 3
+    "one_step_b32": 13.42,     # img/s, round-2 config 5
+    "train_step": 3.178,       # steps/s, round-2 config 4
 }
 
 
@@ -143,7 +145,7 @@ def bench_sd15_img2img(repeats):
     return {
         "metric": "sd15 img2img 512x512 DDPM-cosine s0.8 b4 imgs/sec/chip",
         "value": round(batch / dt, 4), "unit": "img/s",
-        "vs_baseline": round(batch / dt / ROUND1["sd15_img2img"], 4),
+        "vs_baseline": round(batch / dt / PREV_ROUND["sd15_img2img"], 4),
     }
 
 
@@ -165,7 +167,7 @@ def bench_sd21_txt2img_768(repeats):
     return {
         "metric": "sd21 txt2img 768x768 DDIM-50 v-pred imgs/sec/chip",
         "value": round(1 / dt, 4), "unit": "img/s",
-        "vs_baseline": round(1 / dt / ROUND1["sd21_txt2img_768"], 4),
+        "vs_baseline": round(1 / dt / PREV_ROUND["sd21_txt2img_768"], 4),
     }
 
 
@@ -184,7 +186,7 @@ def bench_one_step_b32(repeats):
     return {
         "metric": "swiftbrush one-step 512x512 b32 imgs/sec/chip",
         "value": round(32 / dt, 4), "unit": "img/s",
-        "vs_baseline": round(32 / dt / ROUND1["one_step_b32"], 4),
+        "vs_baseline": round(32 / dt / PREV_ROUND["one_step_b32"], 4),
     }
 
 
@@ -223,7 +225,7 @@ def bench_train_step(repeats):
     return {
         "metric": "dreambooth-lora train step b4 512x512 steps/sec/chip",
         "value": round(1 / dt, 4), "unit": "steps/s",
-        "vs_baseline": round(1 / dt / ROUND1["train_step"], 4),
+        "vs_baseline": round(1 / dt / PREV_ROUND["train_step"], 4),
     }
 
 

@@ -1,0 +1,74 @@
+"""Pallas conv kernel vs XLA at SERVING batches (>= 8), chained-scan timed.
+
+Round 2 gated the kernel OFF at model batch > 4 on an in-program
+measurement; this isolates the standalone question: does the im2col tap-
+matmul kernel win at b8/b16/b32 stage shapes once re-examined?  Informs the
+MAX_KERNEL_BATCH gate (ops/conv.py).
+
+Run on chip: python benchmarks/microbench_conv_batch.py
+"""
+
+import os
+import sys
+import time
+import functools
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stable_diffusion_tpu.ops import conv as conv_ops
+
+ITERS = 30
+
+
+def timed(f, *args):
+    jax.block_until_ready(f(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(*args))
+    return (time.perf_counter() - t0) / ITERS
+
+
+def main():
+    print(f"backend={jax.default_backend()}")
+    conv_ops.MAX_KERNEL_BATCH = 1024  # open the gate for the A/B
+    key = jax.random.key(0)
+    shapes = [
+        # (B, H, W, C) — one-step b32 runs batch 32 (no CFG); b4 txt2img CFG
+        # runs model batch 8; img2img b4 CFG -> 8
+        (8, 64, 64, 320), (8, 32, 32, 640), (8, 16, 16, 1280),
+        (16, 64, 64, 320),
+        (32, 64, 64, 320), (32, 32, 32, 640), (32, 16, 16, 1280),
+    ]
+    for (b, h, w_, c) in shapes:
+        k1, k2 = jax.random.split(jax.random.fold_in(key, b * c + h))
+        x = jax.random.normal(k1, (b, h, w_, c), jnp.bfloat16)
+        w = jax.random.normal(k2, (3, 3, c, c), jnp.bfloat16) * 0.02
+        params = {"kernel": w}
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def chain(x, w, impl):
+            def body(x, _):
+                y = conv_ops.conv3x3({"kernel": w}, x, impl=impl)
+                return y * jnp.bfloat16(0.999), None
+            x, _ = jax.lax.scan(body, x, None, length=ITERS)
+            return x
+
+        ok = conv_ops.supported(x, w, 1, "SAME")
+        if not ok:
+            print(f"conv3x3 b{b} {h}x{w_} c{c}: no feasible block plan")
+            continue
+        t_pal = timed(chain, x, w, "pallas")
+        t_xla = timed(chain, x, w, "xla")
+        fl = 2 * b * h * w_ * c * c * 9
+        print(
+            f"conv3x3 b{b} {h}x{w_} c{c}: pallas {t_pal*1e3:7.3f} ms "
+            f"({fl/t_pal/1e12:5.1f} TF/s)  xla {t_xla*1e3:7.3f} ms "
+            f"({fl/t_xla/1e12:5.1f} TF/s)  {'PALLAS' if t_pal < t_xla else 'xla'} wins"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,75 @@
+"""Fused GeGLU-FFN kernel vs XLA at the SD stage shapes, chained-scan timed.
+
+Run on chip: python benchmarks/microbench_ffn.py
+"""
+
+import os
+import sys
+import time
+import functools
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stable_diffusion_tpu.ops import ffn as ffn_ops
+
+ITERS = 50
+
+
+def timed(f, *args):
+    jax.block_until_ready(f(*args))
+    t0 = time.perf_counter()
+    jax.block_until_ready(f(*args))
+    return (time.perf_counter() - t0) / ITERS
+
+
+def main():
+    print(f"backend={jax.default_backend()}")
+    key = jax.random.key(0)
+    # (B, S, C): CFG batch 2 at 512^2 stages; b8 serving; 768^2 stage 1
+    shapes = [
+        (2, 4096, 320), (2, 1024, 640), (2, 256, 1280), (2, 64, 1280),
+        (8, 4096, 320), (8, 1024, 640),
+        (2, 9216, 320),
+    ]
+    for (b, s, c) in shapes:
+        hidden = 4 * c
+        k1, k2, k3 = jax.random.split(jax.random.fold_in(key, b * c + s), 3)
+        x = jax.random.normal(k1, (b, s, c), jnp.bfloat16)
+        p = {
+            "0": {"proj": {
+                "kernel": jax.random.normal(k2, (c, 2 * hidden), jnp.bfloat16) * 0.02,
+                "bias": jnp.zeros((2 * hidden,), jnp.bfloat16),
+            }},
+            "1": {
+                "kernel": jax.random.normal(k3, (hidden, c), jnp.bfloat16) * 0.02,
+                "bias": jnp.zeros((c,), jnp.bfloat16),
+            },
+        }
+
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def chain(x, p, impl):
+            def body(x, _):
+                y = ffn_ops.geglu_ffn(p, x, impl=impl)
+                return y * jnp.bfloat16(0.999), None
+            x, _ = jax.lax.scan(body, x, None, length=ITERS)
+            return x
+
+        if not ffn_ops.supported(x, p["0"]["proj"]["kernel"]):
+            print(f"ffn b{b} s{s} c{c}: unsupported")
+            continue
+        t_pal = timed(chain, x, p, "pallas")
+        t_xla = timed(chain, x, p, "xla")
+        fl = 2 * b * s * c * 3 * hidden
+        print(
+            f"ffn b{b} s{s} c{c}: pallas {t_pal*1e3:7.3f} ms ({fl/t_pal/1e12:5.1f} TF/s)  "
+            f"xla {t_xla*1e3:7.3f} ms ({fl/t_xla/1e12:5.1f} TF/s)  "
+            f"{'PALLAS' if t_pal < t_xla else 'xla'} wins"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,106 @@
+"""Per-HLO-op profile of the UNet CFG denoise step (or any bench config).
+
+Captures a jax.profiler trace of a chained-scan UNet step on the chip and
+prints the hlo_stats table (self-time per HLO op), aggregated by category —
+the tool that locates the "glue" milliseconds (relayouts, copies, converts,
+norm stats) between the Pallas kernels and the XLA matmuls.
+
+Run on chip:
+    python benchmarks/op_profile.py              # UNet CFG step, b2 64^2
+    OP_BATCH=8 python benchmarks/op_profile.py   # serving batch
+    OP_RES=96 python benchmarks/op_profile.py    # 768^2 stages
+    OP_INT8=full python benchmarks/op_profile.py # W8A8 path
+"""
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stable_diffusion_tpu.models import unet as unet_m
+
+ITERS = 30
+
+
+def main():
+    print(f"backend={jax.default_backend()}")
+    b = int(os.environ.get("OP_BATCH", "2"))
+    res = int(os.environ.get("OP_RES", "64"))
+    int8 = os.environ.get("OP_INT8", "")
+    sd = os.environ.get("OP_SD", "1.5")
+    ucfg = unet_m.UNetConfig.sd15() if sd == "1.5" else unet_m.UNetConfig.sd21()
+    key = jax.random.key(0)
+    dt = jnp.bfloat16
+    shapes = jax.eval_shape(lambda k: unet_m.init_unet(k, ucfg, dtype=dt), key)
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    if int8:
+        from stable_diffusion_tpu.utils.quantize_model import (
+            attach_act_scales, quantize_convs, quantize_params)
+        params = quantize_params(params)
+        if int8 == "full":
+            params = quantize_convs(params)
+            params = attach_act_scales(params, convs=True)
+        else:
+            params = attach_act_scales(params)
+    params = jax.device_put(params)
+    cdim = ucfg.cross_attention_dim
+    cond = jax.random.normal(key, (b, 77, cdim), dt)
+    t = jnp.asarray([500], jnp.int32)
+    x = jax.random.normal(key, (b, res, res, 4), dt)
+
+    @jax.jit
+    def chain(x, params, cond):
+        def body(x, _):
+            out = unet_m.unet_apply(params, x, t, cond, ucfg, impl="auto")
+            return out.astype(x.dtype) * jnp.bfloat16(0.5) + x * jnp.bfloat16(0.5), None
+        x, _ = jax.lax.scan(body, x, None, length=ITERS)
+        return x
+
+    jax.block_until_ready(chain(x, params, cond))  # compile
+    logdir = os.environ.get("OP_LOGDIR", "/tmp/op_profile")
+    os.system(f"rm -rf {logdir}")
+    jax.profiler.start_trace(logdir)
+    t0 = time.perf_counter()
+    jax.block_until_ready(chain(x, params, cond))
+    dt_step = (time.perf_counter() - t0) / ITERS
+    jax.profiler.stop_trace()
+    print(f"UNet step b{b} {res}^2 {'int8-'+int8 if int8 else 'bf16'}: {dt_step*1e3:.3f} ms")
+
+    xplanes = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
+    assert xplanes, f"no xplane under {logdir}"
+    from tensorboard_plugin_profile.convert import raw_to_tool_data
+
+    data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, "hlo_stats", {})
+    rows = json.loads(data) if isinstance(data, (str, bytes)) else data
+    # hlo_stats: list-of-dicts or {data: [...]} depending on version
+    if isinstance(rows, dict):
+        rows = rows.get("data", rows)
+    agg = {}
+    total = 0.0
+    for r in rows:
+        if isinstance(r, str):
+            r = json.loads(r)
+        cat = r.get("hloCategory", r.get("category", "?"))
+        st = float(r.get("selfTimeUs", r.get("self_time_us", 0.0)))
+        name = r.get("hloOpExpression", r.get("name", "?"))[:110]
+        agg.setdefault(cat, [0.0, []])
+        agg[cat][0] += st
+        agg[cat][1].append((st, name))
+        total += st
+    print(f"\n== self-time by HLO category (total {total/1e3:.2f} ms over {ITERS} iters"
+          f" -> {total/1e3/ITERS:.3f} ms/step) ==")
+    for cat, (st, items) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
+        print(f"{cat:28s} {st/1e3/ITERS:7.3f} ms/step  ({st/total*100:4.1f}%)")
+        for s_, n in sorted(items, reverse=True)[:4]:
+            print(f"      {s_/1e3/ITERS:7.4f} ms  {n}")
+
+
+if __name__ == "__main__":
+    main()

@@ -87,7 +87,10 @@ def conv2d(
         kernel = (params["kernel_q"].astype(jnp.float32)
                   * params["kernel_scale"].astype(jnp.float32)
                   ).reshape(params["kernel_q"].shape).astype(x.dtype)
-    if kernel.shape[0] == kernel.shape[1] == 1 and stride == 1:
+    if (kernel.shape[0] == kernel.shape[1] == 1 and stride == 1
+            and padding in ("SAME", "VALID", 0)):
+        # (an int / explicit pad would change the output shape of a 1x1 conv;
+        # those fall through to conv_general_dilated)
         # 1x1 conv == per-pixel matmul.  Expressing it as a dot keeps XLA:TPU
         # from assigning spatial conv layouts (T(2,128) tiles) to the
         # activations, which forces relayouts around the Pallas kernels that

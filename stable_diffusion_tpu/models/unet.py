@@ -155,8 +155,9 @@ def attention_block_apply(params, x, cond, *, num_heads: int, impl: str) -> jax.
 
     res = x
     h = layers.layer_norm(params["layernorm_3"], x)
-    h = layers.geglu(params["ffn"]["0"], h)
-    h = layers.linear(params["ffn"]["1"], h)
+    from stable_diffusion_tpu.ops.ffn import geglu_ffn
+
+    h = geglu_ffn(params["ffn"], h, impl=impl)
     return h + res
 
 

@@ -161,6 +161,11 @@ def _plan(h: int, w: int, c: int, cout: int, itemsize: int):
     return 0, 0, 0, 0
 
 
+# Batch cutoff of the measured win envelope (see supported()); module-level
+# so microbenches can A/B the kernel beyond it (benchmarks/microbench_conv.py)
+MAX_KERNEL_BATCH = 4
+
+
 def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
     if x.ndim != 4 or kernel.shape[:2] != (3, 3) or stride != 1:
         return False
@@ -168,7 +173,12 @@ def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
         return False
     b, h, w, c = x.shape
     cout = kernel.shape[-1]
-    if w % 8:
+    # The in-kernel (bh, W, C3) -> (bh*W, C3) reshape merges W into the
+    # sublane dim, so W should respect the bf16 (16, 128) tile.  W % 16 == 0
+    # covers every SD stage width except the 768^2 config's 24^2 stage, whose
+    # W = 24 is explicitly bench-validated (BASELINE.md round-2 768 numbers) —
+    # admit exactly that case rather than any W % 8.
+    if w % 16 and w != 24:
         return False
     # Measured envelope.  Standalone (benchmarks/microbench_conv.py) the
     # kernel only wins at 32^2..64^2 with moderate K — but IN-PROGRAM a
@@ -179,7 +189,7 @@ def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
     # the standalone winners.  So: keep layout coherence for model batch <= 4;
     # at batch >= 8 (serving/one-step configs) XLA wins in-program too, and
     # bandwidth-bound large-spatial/small-C VAE shapes (256^2+) stay XLA.
-    if not (256 <= h * w <= 9216) or c < 320 or b > 4:
+    if not (256 <= h * w <= 9216) or c < 320 or b > MAX_KERNEL_BATCH:
         return False
     c3p, bh, bn, kc = _plan(h, w, c, cout, x.dtype.itemsize)
     return bh > 0 and bn > 0
@@ -345,9 +355,14 @@ def quant_supported(x, kernel_q, stride: int, padding) -> bool:
     return x.shape[2] % 32 == 0
 
 
+@jax.custom_vjp
 def _conv3x3_q(xn, kernel_q, kernel_scale, act_scale, bias):
     """xn: normalized activations (bf16/f32); weights int8 HWIO; act_scale
-    scalar f32 (calibrated absmax); kernel_scale (1,1,1,Cout)-broadcastable."""
+    scalar f32 (calibrated absmax); kernel_scale (1,1,1,Cout)-broadcastable.
+
+    Inference only: differentiating through the round/clip quantizer would
+    silently produce zero gradients, so the VJP raises (train on the bf16
+    path and quantize afterwards)."""
     b, h, w, c = xn.shape
     cout = kernel_q.shape[-1]
     s_x = jnp.maximum(act_scale.astype(jnp.float32) / 127.0, 1e-12)
@@ -370,6 +385,21 @@ def _conv3x3_q(xn, kernel_q, kernel_scale, act_scale, bias):
     return _conv3x3_q_call(
         x3, w3, scales, b2, bh=bh, bn=bn, kc=kc, h=h, out_dtype=xn.dtype
     )
+
+
+def _conv3x3_q_fwd(xn, kernel_q, kernel_scale, act_scale, bias):
+    return _conv3x3_q(xn, kernel_q, kernel_scale, act_scale, bias), None
+
+
+def _conv3x3_q_bwd(res, g):
+    raise NotImplementedError(
+        "W8A8 conv is inference-only: gradients through the int8 round/clip "
+        "quantizer would be silently wrong — train with bf16 kernels and "
+        "quantize afterwards (utils/quantize_model.quantize_convs)"
+    )
+
+
+_conv3x3_q.defvjp(_conv3x3_q_fwd, _conv3x3_q_bwd)
 
 
 def _xla_conv(x, kernel, bias):

@@ -389,6 +389,7 @@ class StableDiffusion:
                 schedule.prediction_type,
                 float(eta),
                 self.impl,
+                int(deepcache_interval),
             )
         else:
             # progress mode (reference demo/models/diffusion.py:55-70 tqdm/
@@ -756,15 +757,15 @@ def _denoise_scan(
     return latents
 
 
-@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13))
+@functools.partial(jax.jit, static_argnums=(8, 9, 10, 11, 12, 13, 14))
 def _denoise_jit(
     unet_params, latents, context, ts, prev_ts, table, cfg_scale, key,
-    ucfg, do_cfg, sampler, prediction_type, eta, impl,
+    ucfg, do_cfg, sampler, prediction_type, eta, impl, deepcache_interval=1,
 ):
     """The hot loop (reference diffusion.py:223-236) as one lax.scan."""
     return _denoise_scan(
         unet_params, latents, context, ts, prev_ts, table, cfg_scale, key,
-        ucfg, do_cfg, sampler, prediction_type, eta, impl,
+        ucfg, do_cfg, sampler, prediction_type, eta, impl, deepcache_interval,
     )
 
 
@@ -838,8 +839,11 @@ def _one_step_full_jit(params, cond_ids, key, lat_shape, batch_size, ucfg, tcfg,
     context = clip_m.text_model_apply(
         params["text_encoder"], cond_ids, tcfg, impl=impl, dtype=dtype
     )
-    if batch_size > context.shape[0]:
-        context = jnp.repeat(context, batch_size // context.shape[0], axis=0)
+    if batch_size != context.shape[0]:
+        # ceil-tile then slice so a non-divisible batch (e.g. b=3 over 2
+        # prompts) still yields exactly batch_size rows, cycling the prompts
+        reps = -(-batch_size // context.shape[0])
+        context = jnp.tile(context, (reps, 1, 1))[:batch_size]
     latents = jax.random.normal(key, lat_shape, dtype)
     imgs = _one_step_jit(
         params["unet"], params["vae"], latents, context.astype(dtype), ucfg, vcfg, impl

@@ -560,6 +560,10 @@ def load_lora_kohya(path: str, *, reference_scale_convention: bool = False):
                 out[target][m.expand(repl)] = {
                     "lora_A": up,
                     "lora_B": down,
+                    # NOTE: NOT the kohya file's alpha — this leaf is in the
+                    # merge convention of models/lora.py (scale = rank/alpha),
+                    # so it holds rank^2/alpha_kohya unless
+                    # reference_scale_convention=True (see docstring).
                     "alpha": np.float32(alpha),
                 }
                 break

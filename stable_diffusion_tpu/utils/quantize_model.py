@@ -120,25 +120,46 @@ def calibrate_static_activations(apply_fn: Callable, params, batches):
         L.linear = orig
         L.FORCE_UNFUSED_QKV = False
 
+    attached = [0]
+
     def attach(tree):
         if isinstance(tree, dict):
             if id(tree) in records and ("kernel" in tree or "kernel_q" in tree):
                 out = dict(tree)
                 out["act_scale"] = jnp.asarray(records[id(tree)], jnp.float32)
+                attached[0] += 1
                 return out
             return {k: attach(v) for k, v in tree.items()}
         return tree
 
-    return attach(params)
+    result = attach(params)
+    # Identity keying only works when apply_fn consumed ``params`` verbatim
+    # (eager, no tree_map/device_put copies).  If the records don't re-attach,
+    # calibration silently produced a non-quantizable tree — fail loudly.
+    if records and attached[0] != len(records):
+        raise RuntimeError(
+            f"calibration recorded {len(records)} linear layers but only "
+            f"{attached[0]} re-attached to the param tree; apply_fn must call "
+            "the model eagerly on the SAME params object (no copies)"
+        )
+    if not records:
+        raise RuntimeError(
+            "calibration recorded no activations — apply_fn did not route "
+            "through models.layers.linear (was it jitted?)"
+        )
+    return result
 
 
 def attach_act_scales(params, scale: float = 1.0, *, convs: bool = False):
     """Attach a fixed "act_scale" to every rank-2 linear — and, with
     ``convs=True``, every 3x3 conv kernel — without calibration.
 
-    Use cases: perf benchmarking of the W8A8 path with random weights (the
-    scale value does not affect speed), or as a conservative default before
-    a calibration sweep refines the ranges."""
+    BENCHMARKING ONLY: the default scale=1.0 is a too-small absmax for real
+    activations (post-SiLU ranges typically exceed 1), so the int8 path would
+    hard-clip and badly degrade real outputs.  Speed is unaffected by the
+    scale value, which is the point — use this to measure the W8A8 path with
+    random weights.  For accuracy, run calibrate_static_activations /
+    calibrate_static_conv_activations instead."""
 
     def walk(tree):
         if isinstance(tree, dict):
@@ -193,16 +214,26 @@ def calibrate_static_conv_activations(apply_fn: Callable, params, batches):
     finally:
         conv_ops._CAPTURE = None
 
+    attached = [0]
+
     def attach(tree):
         if isinstance(tree, dict):
             if id(tree) in records:
                 out = dict(tree)
                 out["act_scale"] = jnp.asarray(records[id(tree)], jnp.float32)
+                attached[0] += 1
                 return out
             return {k: attach(v) for k, v in tree.items()}
         return tree
 
-    return attach(params)
+    result = attach(params)
+    if records and attached[0] != len(records):
+        raise RuntimeError(
+            f"conv calibration recorded {len(records)} convs but only "
+            f"{attached[0]} re-attached; apply_fn must run eagerly on the "
+            "SAME params object"
+        )
+    return result
 
 
 def quantize_unet_static(params, ucfg, sample_batches, *, impl="xla"):

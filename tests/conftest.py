@@ -22,6 +22,13 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: full-size (real-topology) parity tests; deselect with -m 'not slow'",
+    )
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
