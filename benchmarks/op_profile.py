@@ -73,33 +73,74 @@ def main():
     jax.profiler.stop_trace()
     print(f"UNet step b{b} {res}^2 {'int8-'+int8 if int8 else 'bf16'}: {dt_step*1e3:.3f} ms")
 
+    report(logdir, ITERS)
+
+
+def _category(name: str) -> str:
+    n = name.lower()
+    for key, cat in (
+        ("custom-call", "pallas-custom-call"), ("conv", "convolution"),
+        ("dot", "dot"), ("copy", "copy"), ("transpose", "transpose"),
+        ("convert", "convert"), ("reduce", "reduce"), ("scatter", "scatter"),
+        ("gather", "gather"), ("dynamic", "dynamic-slice/update"),
+        ("concatenate", "concatenate"), ("pad", "pad"), ("slice", "slice"),
+        ("rng", "rng"), ("all-reduce", "collective"), ("bitcast", "bitcast"),
+        ("broadcast", "broadcast"), ("iota", "iota"), ("select", "select"),
+        ("compare", "compare"), ("exp", "elementwise"), ("add", "elementwise"),
+        ("mul", "elementwise"), ("sub", "elementwise"), ("div", "elementwise"),
+        ("tanh", "elementwise"), ("log", "elementwise"),
+    ):
+        if key in n:
+            return cat
+    if n.startswith("fusion") or ".fusion" in n:
+        return "fusion(other)"
+    return "other"
+
+
+def report(logdir, iters):
+    """Aggregate TPU-plane op events from the raw xplane (the tbp converter's
+    native wrapper is broken against this TF build)."""
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
     xplanes = glob.glob(f"{logdir}/**/*.xplane.pb", recursive=True)
     assert xplanes, f"no xplane under {logdir}"
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
-
-    data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, "hlo_stats", {})
-    rows = json.loads(data) if isinstance(data, (str, bytes)) else data
-    # hlo_stats: list-of-dicts or {data: [...]} depending on version
-    if isinstance(rows, dict):
-        rows = rows.get("data", rows)
-    agg = {}
-    total = 0.0
-    for r in rows:
-        if isinstance(r, str):
-            r = json.loads(r)
-        cat = r.get("hloCategory", r.get("category", "?"))
-        st = float(r.get("selfTimeUs", r.get("self_time_us", 0.0)))
-        name = r.get("hloOpExpression", r.get("name", "?"))[:110]
-        agg.setdefault(cat, [0.0, []])
-        agg[cat][0] += st
-        agg[cat][1].append((st, name))
-        total += st
-    print(f"\n== self-time by HLO category (total {total/1e3:.2f} ms over {ITERS} iters"
-          f" -> {total/1e3/ITERS:.3f} ms/step) ==")
-    for cat, (st, items) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
-        print(f"{cat:28s} {st/1e3/ITERS:7.3f} ms/step  ({st/total*100:4.1f}%)")
-        for s_, n in sorted(items, reverse=True)[:4]:
-            print(f"      {s_/1e3/ITERS:7.4f} ms  {n}")
+    space = xplane_pb2.XSpace()
+    with open(xplanes[0], "rb") as f:
+        space.ParseFromString(f.read())
+    for plane in space.planes:
+        if "TPU" not in plane.name and "tpu" not in plane.name:
+            continue
+        meta = {k: v.name for k, v in plane.event_metadata.items()}
+        per_line = {}
+        for line in plane.lines:
+            tot = sum(e.duration_ps for e in line.events)
+            per_line[line.name] = (tot, line)
+        print(f"\n== plane {plane.name} ==")
+        # the op-level line is the busiest non-module line
+        for lname, (tot, line) in sorted(per_line.items(), key=lambda kv: -kv[1][0]):
+            print(f"line '{lname}': {tot/1e12*1e3/iters:8.3f} ms/step over {len(line.events)} events")
+        opline = None
+        for lname, (tot, line) in sorted(per_line.items(), key=lambda kv: -kv[1][0]):
+            if "module" not in lname.lower() and "step" not in lname.lower():
+                opline = line
+                break
+        if opline is None:
+            continue
+        agg, total = {}, 0.0
+        for e in opline.events:
+            name = meta.get(e.metadata_id, "?")
+            d = e.duration_ps / 1e12  # seconds
+            cat = _category(name)
+            a = agg.setdefault(cat, [0.0, {}])
+            a[0] += d
+            a[1][name] = a[1].get(name, 0.0) + d
+            total += d
+        print(f"\n== self-time by category (line '{opline.name}', "
+              f"{total*1e3/iters:.3f} ms/step) ==")
+        for cat, (st, items) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
+            print(f"{cat:24s} {st*1e3/iters:7.3f} ms/step  ({st/total*100:4.1f}%)")
+            for n, s_ in sorted(items.items(), key=lambda kv: -kv[1])[:4]:
+                print(f"      {s_*1e3/iters:7.4f} ms  {n[:100]}")
 
 
 if __name__ == "__main__":

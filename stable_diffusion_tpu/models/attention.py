@@ -39,6 +39,19 @@ def multihead_attention(
     b, sq, e = x.shape
     d = e // num_heads
 
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    want_kernel = impl in ("flash", "pallas") or (impl == "auto" and on_tpu)
+    if (want_kernel and not causal and "kernel" in params[qn]
+            and not getattr(layers, "FORCE_UNFUSED_QKV", False)):
+        from stable_diffusion_tpu.ops import flash_attention as fa
+
+        sk = kv_in.shape[1]
+        if cond is None and fa.premerged_self_supported(b, sq, num_heads, d):
+            return _premerged_attention(params, x, x, num_heads, d, names, cross=False)
+        if (cond is not None and sk != sq
+                and fa.premerged_cross_supported(b, sq, sk, num_heads, d)):
+            return _premerged_attention(params, x, cond, num_heads, d, names, cross=True)
+
     if (cond is None and "kernel" in params[qn]
             and not getattr(layers, "FORCE_UNFUSED_QKV", False)):
         # fused QKV: one (E, 3E) matmul instead of three — wider N keeps the
@@ -83,6 +96,81 @@ def multihead_attention(
     out = sdpa(q, k, v, causal=causal, impl=impl)
     out = out.reshape(b, sq, e)
     return layers.linear(params[on], out)
+
+
+def _premerged_attention(params, x, kv_in, num_heads, d, names, *, cross):
+    """Kernel-layout attention with the per-head zero-padding folded into the
+    projection WEIGHTS (built in-trace, hoisted out of the denoise scan by
+    XLA's loop-invariant code motion) — the per-step pad/reshape copies of
+    q/k/v/out around the Pallas kernels disappear entirely.
+
+    Padded q/k lanes are zero on both sides so logits are exact; padded v
+    lanes produce zero outputs, which meet zero rows in the padded out_proj.
+    """
+    from stable_diffusion_tpu.ops import flash_attention as fa
+
+    qn, kn, vn, on = names
+    b, sq, e = x.shape
+    dp = fa._padded_dim(d)
+    wp = fa.premerged_width(num_heads, d)
+    hd = num_heads * dp
+    dt = x.dtype
+
+    def pad_cols(p):
+        # (in, E) -> (in, wp): per-head d -> dp column padding + tail pad
+        w = p["kernel"].astype(dt)
+        w = w.reshape(w.shape[0], num_heads, d)
+        if dp != d:
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, dp - d)))
+        w = w.reshape(-1, hd)
+        if wp != hd:
+            w = jnp.pad(w, ((0, 0), (0, wp - hd)))
+        return w
+
+    def pad_bias(p):
+        bb = p["bias"].astype(dt).reshape(num_heads, d)
+        if dp != d:
+            bb = jnp.pad(bb, ((0, 0), (0, dp - d)))
+        bb = bb.reshape(hd)
+        if wp != hd:
+            bb = jnp.pad(bb, (0, wp - hd))
+        return bb
+
+    has_bias = "bias" in params[qn]
+    if cross:
+        q3 = jnp.dot(x, pad_cols(params[qn]), preferred_element_type=dt)
+        k3 = jnp.dot(kv_in, pad_cols(params[kn]), preferred_element_type=dt)
+        v3 = jnp.dot(kv_in, pad_cols(params[vn]), preferred_element_type=dt)
+        if has_bias:
+            q3 = q3 + pad_bias(params[qn])
+            k3 = k3 + pad_bias(params[kn])
+            v3 = v3 + pad_bias(params[vn])
+        o = fa.flash_cross_premerged(
+            q3, k3, v3, scale=d ** -0.5, num_heads=num_heads, head_dim=dp,
+            kv_len=kv_in.shape[1],
+        )
+    else:
+        wqkv = jnp.concatenate(
+            [pad_cols(params[n]) for n in (qn, kn, vn)], axis=1
+        )
+        qkv = jnp.dot(x, wqkv, preferred_element_type=dt)
+        if has_bias:
+            qkv = qkv + jnp.concatenate([pad_bias(params[n]) for n in (qn, kn, vn)])
+        q3, k3, v3 = jnp.split(qkv, 3, axis=-1)
+        o = fa.flash_self_premerged(
+            q3, k3, v3, scale=d ** -0.5, num_heads=num_heads, head_dim=dp
+        )
+
+    wo = params[on]["kernel"].astype(dt).reshape(num_heads, d, e)
+    if dp != d:
+        wo = jnp.pad(wo, ((0, 0), (0, dp - d), (0, 0)))
+    wo = wo.reshape(hd, e)
+    if wp != hd:
+        wo = jnp.pad(wo, ((0, wp - hd), (0, 0)))
+    y = jnp.dot(o, wo, preferred_element_type=dt)
+    if "bias" in params[on]:
+        y = y + params[on]["bias"].astype(dt)
+    return y
 
 
 def init_multihead_attention(

@@ -99,6 +99,25 @@ def conv2d(
         if "bias" in params:
             y = y + params["bias"].astype(x.dtype)
         return y
+    if (kernel.shape[0] == kernel.shape[1] == 3 and stride == 1
+            and padding in ("SAME", 1, ((1, 1), (1, 1)))
+            and x.shape[1] * x.shape[2] <= 128):
+        # Small-spatial 3x3 conv as an explicit im2col dot: XLA's spatial conv
+        # emitter assigns T(2,128) layouts and runs ~68-85 TF/s at the 8^2
+        # bottleneck shapes, forcing relayouts against the row-major Pallas
+        # neighbors; the (BHW, 9C) x (9C, Cout) dot runs ~112-132 TF/s and
+        # keeps T(8,128) (measured, benchmarks round 3).
+        b, h, w, c = x.shape
+        co = kernel.shape[-1]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        cols = [xp[:, dy:dy + h, dx:dx + w, :]
+                for dy in range(3) for dx in range(3)]
+        x9 = jnp.concatenate(cols, axis=-1).reshape(b * h * w, 9 * c)
+        y = jnp.dot(x9, kernel.reshape(9 * c, co),
+                    preferred_element_type=x.dtype).reshape(b, h, w, co)
+        if "bias" in params:
+            y = y + params["bias"].astype(x.dtype)
+        return y
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     y = jax.lax.conv_general_dilated(

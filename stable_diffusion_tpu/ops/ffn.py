@@ -32,9 +32,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _erf_f32(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs err 1.5e-7) — Mosaic
+    has no erf/erfc lowering; exp is supported.  1.5e-7 is far below the
+    bf16 output quantization (~4e-3 relative), so the kernel still matches
+    the exact-GELU XLA path bit-comparably in bf16."""
+    a1, a2, a3 = 0.254829592, -0.284496736, 1.421413741
+    a4, a5, p = -1.453152027, 1.061405429, 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _gelu_f32(x):
     # torch nn.GELU() default == exact erf formulation (models/layers.gelu)
-    return jax.nn.gelu(x, approximate=False)
+    return 0.5 * x * (1.0 + _erf_f32(x * 0.7071067811865476))
 
 
 def _ffn_kernel(x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref, w2_ref, b2_ref,
@@ -94,6 +108,13 @@ def supported(x: jax.Array, w1: jax.Array) -> bool:
     # C itself only needs sublane alignment — Mosaic pads the lane dim of the
     # (bm, C) / (bn, C) blocks internally (C = 320 = 2.5 lanes is fine).
     if c % 8 or hidden % 128:
+        return False
+    # Measured envelope (benchmarks/microbench_ffn.py, diff-timed on v5e):
+    # the kernel wins at C in {320, 640} for every M (b2: 186 vs 279 us at
+    # stage0; b8: 747 vs 1076; 768^2: 421 vs 589) and LOSES at C = 1280
+    # (186 vs 149 us) where the 39 MB weight slab must re-stream per m-block
+    # under the VMEM budget while XLA re-uses it — keep stage2 on XLA.
+    if c > 640:
         return False
     m = b * s
     if m % 128:

@@ -423,3 +423,113 @@ def flash_attention(
         raise ValueError(f"unsupported flash shape q={q.shape} k={k.shape}")
     d = q.shape[-1]
     return _flash(q, k, v, d ** -0.5 if scale is None else scale)
+
+
+# ---------------------------------------------------------------------------
+# Pre-merged (weight-padded) entries: q/k/v arrive already in the kernel's
+# (B, S, W) layout with heads at stride ``head_dim`` and W 128-aligned —
+# the caller folded the per-head zero-padding into its projection WEIGHTS
+# (hoisted out of the scan by XLA), so no per-step pad/reshape data movement
+# happens at all.  models/attention.py builds these layouts.
+# ---------------------------------------------------------------------------
+
+
+def premerged_width(num_heads: int, d: int) -> int:
+    """The padded merged width W the caller must produce: heads padded to
+    dp = _padded_dim(d), then W rounded up to a 128 multiple."""
+    dp = _padded_dim(d)
+    if dp == 0:
+        return 0
+    return (num_heads * dp + 127) // 128 * 128
+
+
+def premerged_self_supported(b: int, s: int, num_heads: int, d: int) -> bool:
+    w = premerged_width(num_heads, d)
+    if w == 0:
+        return False
+    bq, bk = _pick_blocks(s, w)
+    return s % bq == 0 and s % bk == 0 and s >= 128
+
+
+def premerged_cross_supported(b, sq, sk, num_heads: int, d: int) -> bool:
+    w = premerged_width(num_heads, d)
+    if w == 0 or w > 2048 or sk > 128:
+        return False
+    return sq >= 128 and sq % 128 == 0
+
+
+def _xla_ref_premerged(q, k, v, scale, num_heads, head_dim):
+    b, s, w = q.shape
+
+    def split(x):
+        return x[:, :, : num_heads * head_dim].reshape(
+            x.shape[0], x.shape[1], num_heads, head_dim
+        )
+
+    o = _xla_ref(split(q), split(k), split(v), scale)
+    o = o.reshape(b, s, num_heads * head_dim)
+    if w != num_heads * head_dim:
+        o = jnp.pad(o, ((0, 0), (0, 0), (0, w - num_heads * head_dim)))
+    return o
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _flash_self_premerged(q, k, v, scale, num_heads, head_dim):
+    return _flash_merged(q, k, v, scale=scale, num_heads=num_heads, head_dim=head_dim)
+
+
+def _self_premerged_fwd(q, k, v, scale, num_heads, head_dim):
+    return _flash_self_premerged(q, k, v, scale, num_heads, head_dim), (q, k, v)
+
+
+def _self_premerged_bwd(scale, num_heads, head_dim, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_ref_premerged(q_, k_, v_, scale, num_heads, head_dim),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+_flash_self_premerged.defvjp(_self_premerged_fwd, _self_premerged_bwd)
+
+
+def flash_self_premerged(q, k, v, *, scale, num_heads, head_dim):
+    """Self-attention over (B, S, W) weight-padded merged tensors."""
+    return _flash_self_premerged(q, k, v, scale, num_heads, head_dim)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_cross_premerged(q, k, v, scale, num_heads, head_dim, kv_len):
+    b, sq, w = q.shape
+    skp = 128
+    sk = k.shape[1]
+    if sk != skp:
+        kvpad = [(0, 0), (0, skp - sk), (0, 0)]
+        k = jnp.pad(k, kvpad)
+        v = jnp.pad(v, kvpad)
+    return _flash_cross_merged(
+        q, k, v, scale=scale, num_heads=num_heads, head_dim=head_dim, kv_len=kv_len
+    )
+
+
+def _cross_premerged_fwd(q, k, v, scale, num_heads, head_dim, kv_len):
+    return _flash_cross_premerged(q, k, v, scale, num_heads, head_dim, kv_len), (q, k, v)
+
+
+def _cross_premerged_bwd(scale, num_heads, head_dim, kv_len, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: _xla_ref_premerged(q_, k_, v_, scale, num_heads, head_dim),
+        q, k, v,
+    )
+    return vjp(g)
+
+
+_flash_cross_premerged.defvjp(_cross_premerged_fwd, _cross_premerged_bwd)
+
+
+def flash_cross_premerged(q, k, v, *, scale, num_heads, head_dim, kv_len):
+    """Short-KV cross attention over (B, Sq, W) / (B, Sk<=128, W) merged
+    tensors; only the tiny K/V rows are padded per step."""
+    return _flash_cross_premerged(q, k, v, scale, num_heads, head_dim, kv_len)

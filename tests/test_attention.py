@@ -2,6 +2,7 @@
 (models/unet/attention.py:12-100)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import torch
 
@@ -132,3 +133,57 @@ def test_sdpa_routes_cross_to_kernel(rng, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(A._xla_sdpa(q, k, v)), atol=2e-5
     )
+
+
+def test_premerged_self_attention_matches_xla(rng):
+    """Weight-padded premerged path (kernel layout, d=40-style padding) ==
+    the XLA path, interpret mode."""
+    from jax.experimental.pallas import tpu as pltpu
+    from stable_diffusion_tpu.models.attention import (
+        init_multihead_attention, multihead_attention)
+
+    e, heads = 320, 8  # d = 40 -> dp = 64 (the SD1.5 stage-0 shape)
+    p = init_multihead_attention(jax.random.key(0), e, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 128, e)), jnp.float32)
+    want = np.asarray(multihead_attention(p, x, num_heads=heads, impl="xla"))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(multihead_attention(p, x, num_heads=heads, impl="flash"))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_premerged_cross_attention_matches_xla(rng):
+    from jax.experimental.pallas import tpu as pltpu
+    from stable_diffusion_tpu.models.attention import (
+        init_multihead_attention, multihead_attention)
+
+    e, heads, cd = 320, 8, 96
+    p = init_multihead_attention(jax.random.key(1), e, cond_dim=cd, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((2, 128, e)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((2, 77, cd)), jnp.float32)
+    want = np.asarray(multihead_attention(p, x, num_heads=heads, cond=cond, impl="xla"))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(
+            multihead_attention(p, x, num_heads=heads, cond=cond, impl="flash"))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_premerged_grad_flows(rng):
+    """The premerged custom-VJP recompute path produces XLA-matching grads."""
+    from jax.experimental.pallas import tpu as pltpu
+    from stable_diffusion_tpu.models.attention import (
+        init_multihead_attention, multihead_attention)
+
+    e, heads = 64, 2  # d = 32 -> dp = 64 padding in the VJP path too
+    p = init_multihead_attention(jax.random.key(2), e, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 128, e)), jnp.float32)
+
+    def loss_flash(x):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(multihead_attention(p, x, num_heads=heads, impl="flash") ** 2)
+
+    def loss_xla(x):
+        return jnp.sum(multihead_attention(p, x, num_heads=heads, impl="xla") ** 2)
+
+    g1 = np.asarray(jax.grad(loss_flash)(x))
+    g2 = np.asarray(jax.grad(loss_xla)(x))
+    np.testing.assert_allclose(g1, g2, atol=5e-4, rtol=1e-3)
