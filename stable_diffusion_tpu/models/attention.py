@@ -35,22 +35,30 @@ def multihead_attention(
 ) -> jax.Array:
     """x: (B, Sq, E); cond: (B, Sk, Ck) or None.  Returns (B, Sq, E)."""
     qn, kn, vn, on = names
-    kv_in = x if cond is None else cond
+    # Mixed-precision policy: attention computes in x's dtype.  The training
+    # loss feeds an f32 text embedding (training.py dreambooth_loss) — without
+    # this cast the f32 cross-attn output upcasts every downstream block, and
+    # f32 q/k/v double the flash kernels' VMEM footprint (compile OOM).
+    kv_in = x if cond is None else cond.astype(x.dtype)
     b, sq, e = x.shape
     d = e // num_heads
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
     want_kernel = impl in ("flash", "pallas") or (impl == "auto" and on_tpu)
-    if (want_kernel and not causal and "kernel" in params[qn]
+    premerged_ok = "kernel" in params[qn] or (
+        "kernel_q" in params[qn] and "act_scale" in params[qn]
+    )
+    if (want_kernel and not causal and premerged_ok
             and not getattr(layers, "FORCE_UNFUSED_QKV", False)):
         from stable_diffusion_tpu.ops import flash_attention as fa
 
         sk = kv_in.shape[1]
-        if cond is None and fa.premerged_self_supported(b, sq, num_heads, d):
+        if cond is None and fa.premerged_self_supported(
+                b, sq, num_heads, d, x.dtype.itemsize):
             return _premerged_attention(params, x, x, num_heads, d, names, cross=False)
         if (cond is not None and sk != sq
                 and fa.premerged_cross_supported(b, sq, sk, num_heads, d)):
-            return _premerged_attention(params, x, cond, num_heads, d, names, cross=True)
+            return _premerged_attention(params, x, kv_in, num_heads, d, names, cross=True)
 
     if (cond is None and "kernel" in params[qn]
             and not getattr(layers, "FORCE_UNFUSED_QKV", False)):
@@ -136,40 +144,102 @@ def _premerged_attention(params, x, kv_in, num_heads, d, names, *, cross):
             bb = jnp.pad(bb, (0, wp - hd))
         return bb
 
-    has_bias = "bias" in params[qn]
+    def pad_cols_q(p):
+        # int8 kernel + (1, E) per-channel scale row, both head-padded
+        wq_ = p["kernel_q"].reshape(p["kernel_q"].shape[0], num_heads, d)
+        sc = p["kernel_scale"].reshape(1, num_heads, d)
+        if dp != d:
+            wq_ = jnp.pad(wq_, ((0, 0), (0, 0), (0, dp - d)))
+            sc = jnp.pad(sc, ((0, 0), (0, 0), (0, dp - d)))
+        wq_ = wq_.reshape(-1, hd)
+        sc = sc.reshape(1, hd)
+        if wp != hd:
+            wq_ = jnp.pad(wq_, ((0, 0), (0, wp - hd)))
+            sc = jnp.pad(sc, ((0, 0), (0, wp - hd)))
+        return wq_, sc
+
+    def proj(p, inp):
+        """inp @ W in the padded layout — bf16 dot or W8A8 int8 dot."""
+        if "kernel" in p:
+            y = jnp.dot(inp, pad_cols(p), preferred_element_type=dt)
+        else:
+            s_x = p["act_scale"].astype(jnp.float32) / 127.0
+            iq = jnp.round(
+                jnp.clip(inp.astype(jnp.float32) / s_x, -127.0, 127.0)
+            ).astype(jnp.int8)
+            w_q, w_s = pad_cols_q(p)
+            acc = jax.lax.dot_general(
+                iq, w_q, (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            y = (acc.astype(jnp.float32) * (s_x * w_s)).astype(dt)
+        return y + pad_bias(p) if "bias" in p else y
+
     if cross:
-        q3 = jnp.dot(x, pad_cols(params[qn]), preferred_element_type=dt)
-        k3 = jnp.dot(kv_in, pad_cols(params[kn]), preferred_element_type=dt)
-        v3 = jnp.dot(kv_in, pad_cols(params[vn]), preferred_element_type=dt)
-        if has_bias:
-            q3 = q3 + pad_bias(params[qn])
-            k3 = k3 + pad_bias(params[kn])
-            v3 = v3 + pad_bias(params[vn])
+        q3 = proj(params[qn], x)
+        k3 = proj(params[kn], kv_in)
+        v3 = proj(params[vn], kv_in)
         o = fa.flash_cross_premerged(
             q3, k3, v3, scale=d ** -0.5, num_heads=num_heads, head_dim=dp,
             kv_len=kv_in.shape[1],
         )
     else:
-        wqkv = jnp.concatenate(
-            [pad_cols(params[n]) for n in (qn, kn, vn)], axis=1
-        )
-        qkv = jnp.dot(x, wqkv, preferred_element_type=dt)
-        if has_bias:
-            qkv = qkv + jnp.concatenate([pad_bias(params[n]) for n in (qn, kn, vn)])
+        if all("kernel" in params[n] for n in (qn, kn, vn)):
+            wqkv = jnp.concatenate(
+                [pad_cols(params[n]) for n in (qn, kn, vn)], axis=1
+            )
+            qkv = jnp.dot(x, wqkv, preferred_element_type=dt)
+            if "bias" in params[qn]:
+                qkv = qkv + jnp.concatenate(
+                    [pad_bias(params[n]) for n in (qn, kn, vn)]
+                )
+        else:
+            # fused W8A8 QKV in the padded layout (shared act_scale)
+            s_x = params[qn]["act_scale"].astype(jnp.float32) / 127.0
+            x_q = jnp.round(
+                jnp.clip(x.astype(jnp.float32) / s_x, -127.0, 127.0)
+            ).astype(jnp.int8)
+            cols = [pad_cols_q(params[n]) for n in (qn, kn, vn)]
+            w_q = jnp.concatenate([c[0] for c in cols], axis=1)
+            w_s = jnp.concatenate([c[1] for c in cols], axis=1)
+            acc = jax.lax.dot_general(
+                x_q, w_q, (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            )
+            qkv = (acc.astype(jnp.float32) * (s_x * w_s)).astype(dt)
+            if "bias" in params[qn]:
+                qkv = qkv + jnp.concatenate(
+                    [pad_bias(params[n]) for n in (qn, kn, vn)]
+                )
         q3, k3, v3 = jnp.split(qkv, 3, axis=-1)
         o = fa.flash_self_premerged(
             q3, k3, v3, scale=d ** -0.5, num_heads=num_heads, head_dim=dp
         )
 
-    wo = params[on]["kernel"].astype(dt).reshape(num_heads, d, e)
-    if dp != d:
-        wo = jnp.pad(wo, ((0, 0), (0, dp - d), (0, 0)))
-    wo = wo.reshape(hd, e)
-    if wp != hd:
-        wo = jnp.pad(wo, ((0, wp - hd), (0, 0)))
-    y = jnp.dot(o, wo, preferred_element_type=dt)
-    if "bias" in params[on]:
-        y = y + params[on]["bias"].astype(dt)
+    def pad_rows(w):
+        # (E, E) -> (wp, E): per-head input-row padding for the out proj
+        w = w.reshape(num_heads, d, e)
+        if dp != d:
+            w = jnp.pad(w, ((0, 0), (0, dp - d), (0, 0)))
+        w = w.reshape(hd, e)
+        if wp != hd:
+            w = jnp.pad(w, ((0, wp - hd), (0, 0)))
+        return w
+
+    po = params[on]
+    if "kernel" in po:
+        y = jnp.dot(o, pad_rows(po["kernel"].astype(dt)), preferred_element_type=dt)
+    else:
+        s_x = po["act_scale"].astype(jnp.float32) / 127.0
+        oq = jnp.round(
+            jnp.clip(o.astype(jnp.float32) / s_x, -127.0, 127.0)
+        ).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            oq, pad_rows(po["kernel_q"]),
+            (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+        )
+        y = (acc.astype(jnp.float32)
+             * (s_x * po["kernel_scale"].reshape(1, e))).astype(dt)
+    if "bias" in po:
+        y = y + po["bias"].astype(dt)
     return y
 
 

@@ -153,12 +153,12 @@ def attention_block_apply(params, x, cond, *, num_heads: int, impl: str) -> jax.
     h = multihead_attention(params["attn2"], h, num_heads=num_heads, cond=cond, impl=impl)
     x = h + res
 
-    res = x
-    h = layers.layer_norm(params["layernorm_3"], x)
     from stable_diffusion_tpu.ops.ffn import geglu_ffn
 
-    h = geglu_ffn(params["ffn"], h, impl=impl)
-    return h + res
+    # LN + GeGLU-FFN + residual as ONE fused kernel on TPU (ops/ffn.py)
+    return geglu_ffn(
+        params["ffn"], x, ln_params=params["layernorm_3"], residual=x, impl=impl
+    )
 
 
 def transformer_encoder_apply(params, x, cond, *, num_heads: int, impl: str) -> jax.Array:

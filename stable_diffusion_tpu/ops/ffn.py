@@ -1,22 +1,26 @@
-"""Fused GeGLU FFN Pallas kernel (the transformer block's MLP hot path).
+"""Fused (LayerNorm ->) GeGLU FFN (-> +residual) Pallas kernel.
 
-The reference computes GeGLU as proj-to-8C, chunk, x1 * gelu(gate), then a
-4C->C linear (models/activation_fn.py:12-20, models/unet/unet.py:127-150).
-As two XLA dots that materializes an (M, 8C) intermediate in HBM — e.g.
-(8192, 2560) bf16 = 42 MB written + (M, 4C) read back per layer.  This
-kernel pipelines both matmuls through VMEM:
+The reference computes the transformer-block MLP as LN, proj-to-8C, chunk,
+x1 * gelu(gate), 4C->C linear, residual add (models/activation_fn.py:12-20,
+models/unet/unet.py:127-150).  As XLA ops that materializes an (M, 8C)
+intermediate in HBM plus separate LN-stats / normalize / residual passes.
+This kernel pipelines the whole sub-block through VMEM:
 
-    for each (m, n) block:               # n blocks the 4C hidden dim
-        hv = x_m @ W1[:, n_value]        # (BM, BN)   value half
-        hg = x_m @ W1[:, n_gate]         # (BM, BN)   gate half
-        h  = (hv + bv) * gelu(hg + bg)   # VPU, f32
-        acc_m += h @ W2[n]               # (BM, C)
-    out_m = acc_m + b2                   # on the last n block
+    x_m' = LN(x_m)                        # f32 stats in-kernel (optional)
+    for each hidden block n:
+        hv = x_m' @ W1[:, n_value]
+        hg = x_m' @ W1[:, n_gate]
+        h  = (hv + bv) * gelu(hg + bg)    # exact-erf GELU, f32 VPU
+        acc_m += h @ W2[n]
+    out_m = acc_m + b2 (+ res_m)          # residual add fused (optional)
 
-so the 8C intermediate never touches HBM, and x_m is read once per n block
-from VMEM (not per-matmul from HBM).  Weights stream through the normal
-BlockSpec pipeline; all SD stage widths (C in {320, 640, 1280}; 4C up to
-5120) have 128-multiple blocks.
+Two block layouts, chosen by VMEM feasibility:
+  * "mo" (m-outer): full W1/W2 resident, m blocks stream — the C<=640
+    stages, where all weights fit.
+  * "no" (n-outer): the f32 accumulator for ALL m blocks persists in
+    scratch while weight blocks stream exactly ONCE per n — the C=1280
+    stages whose 39 MB weight slab would otherwise re-stream per m block
+    (the reason the v1 kernel lost to XLA there).
 
 Backward falls back to the XLA formulation via custom VJP (recompute, like
 ops/conv.py) so the kernel is usable inside the training step.
@@ -51,49 +55,104 @@ def _gelu_f32(x):
     return 0.5 * x * (1.0 + _erf_f32(x * 0.7071067811865476))
 
 
-def _ffn_kernel(x_ref, w1v_ref, w1g_ref, b1v_ref, b1g_ref, w2_ref, b2_ref,
-                o_ref, acc_ref):
-    n = pl.program_id(1)
-    nn = pl.num_programs(1)
-
-    x = x_ref[...]
-    hv = jnp.dot(x, w1v_ref[...], preferred_element_type=jnp.float32)
-    hg = jnp.dot(x, w1g_ref[...], preferred_element_type=jnp.float32)
-    h = (hv + b1v_ref[...]) * _gelu_f32(hg + b1g_ref[...])
-    part = jnp.dot(h.astype(x.dtype), w2_ref[...],
-                   preferred_element_type=jnp.float32)
-
-    @pl.when(n == 0)
-    def _first():
-        acc_ref[...] = part
-
-    @pl.when(n > 0)
-    def _rest():
-        acc_ref[...] = acc_ref[...] + part
-
-    @pl.when(n == nn - 1)
-    def _store():
-        o_ref[...] = (acc_ref[...] + b2_ref[...]).astype(o_ref.dtype)
+def _ln_f32(x, gamma, beta, eps):
+    """Row LayerNorm matching models/layers.layer_norm (f32 stats)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * gamma + beta).astype(x.dtype)
 
 
-def _pick_blocks(m: int, c: int, hidden: int, itemsize: int):
-    """(bm, bn) under a VMEM budget with Mosaic's double buffering of every
-    streamed block.  Returns (0, 0) if nothing fits."""
+def _make_kernel(layout: str, has_ln: bool, has_res: bool, eps: float):
+    def kernel(*refs):
+        if layout == "mo":
+            mi, n = pl.program_id(0), pl.program_id(1)
+            nn = pl.num_programs(1)
+        else:
+            n, mi = pl.program_id(0), pl.program_id(1)
+            nn = pl.num_programs(0)
+        i = 0
+        x_ref = refs[i]; i += 1
+        if has_ln:
+            g_ref, be_ref = refs[i], refs[i + 1]; i += 2
+        w1v, w1g, b1v, b1g, w2, b2 = refs[i:i + 6]; i += 6
+        res_ref = None
+        if has_res:
+            res_ref = refs[i]; i += 1
+        o_ref = refs[i]; acc_ref = refs[i + 1]
+
+        x = x_ref[...]
+        if has_ln:
+            x = _ln_f32(x, g_ref[...].astype(jnp.float32),
+                        be_ref[...].astype(jnp.float32), eps)
+        hv = jnp.dot(x, w1v[...], preferred_element_type=jnp.float32)
+        hg = jnp.dot(x, w1g[...], preferred_element_type=jnp.float32)
+        h = (hv + b1v[...]) * _gelu_f32(hg + b1g[...])
+        part = jnp.dot(h.astype(x.dtype), w2[...],
+                       preferred_element_type=jnp.float32)
+
+        acc = acc_ref.at[mi] if layout == "no" else acc_ref
+
+        @pl.when(n == 0)
+        def _first():
+            acc[...] = part
+
+        @pl.when(n > 0)
+        def _rest():
+            acc[...] = acc[...] + part
+
+        @pl.when(n == nn - 1)
+        def _store():
+            out = acc[...] + b2[...]
+            if has_res:
+                out = out + res_ref[...].astype(jnp.float32)
+            o_ref[...] = out.astype(o_ref.dtype)
+
+    return kernel
+
+
+def _plan(m: int, c: int, hidden: int, itemsize: int):
+    """(layout, bm, bn) under the VMEM budget; (None, 0, 0) if infeasible."""
     budget = 13 * 1024 * 1024
+
+    def io_bytes(bm):
+        # x, out, res blocks (2-buffered) + f32 acc row block
+        return 3 * 2 * bm * c * itemsize
+
+    # m-outer with ALL weights resident (single n block): no restreaming
+    wt_full = 2 * 3 * c * hidden * itemsize
+    for bm in (512, 256, 128):
+        if m % bm or bm > m:
+            continue
+        tmp = 3 * bm * hidden * 4
+        if wt_full + io_bytes(bm) + bm * c * 4 + tmp <= budget:
+            return "mo", bm, hidden
+    # n-outer with the full-M f32 accumulator persistent in scratch and
+    # weight blocks streamed exactly once per n
+    accf = m * c * 4
+    for bn in (1280, 1024, 640, 512, 256):
+        if bn > hidden or hidden % bn:
+            continue
+        for bm in (256, 128):
+            if m % bm or bm > m:
+                continue
+            wt = 2 * 3 * c * bn * itemsize
+            tmp = 3 * bm * bn * 4
+            if accf + wt + io_bytes(bm) + tmp <= budget:
+                return "no", bm, bn
+    # m-outer multi-n fallback (weights restream per m block — slowest)
     for bn in (1280, 1024, 640, 512, 256, 128):
         if bn > hidden or hidden % bn:
             continue
         for bm in (512, 256, 128):
-            if bm > m or m % bm:
+            if m % bm or bm > m:
                 continue
-            wt = 2 * (2 * c * bn + bn * c) * itemsize      # w1v+w1g+w2, 2-buf
-            xb = 2 * bm * c * itemsize                     # x block, 2-buf
-            ob = 2 * bm * c * itemsize
-            acc = bm * c * 4
-            tmp = 3 * bm * bn * 4                          # hv, hg, h
-            if wt + xb + ob + acc + tmp <= budget:
-                return bm, bn
-    return 0, 0
+            wt = 2 * 3 * c * bn * itemsize
+            tmp = 3 * bm * bn * 4
+            if wt + io_bytes(bm) + bm * c * 4 + tmp <= budget:
+                return "mo", bm, bn
+    return None, 0, 0
 
 
 def supported(x: jax.Array, w1: jax.Array) -> bool:
@@ -109,59 +168,82 @@ def supported(x: jax.Array, w1: jax.Array) -> bool:
     # (bm, C) / (bn, C) blocks internally (C = 320 = 2.5 lanes is fine).
     if c % 8 or hidden % 128:
         return False
-    # Measured envelope (benchmarks/microbench_ffn.py, diff-timed on v5e):
-    # the kernel wins at C in {320, 640} for every M (b2: 186 vs 279 us at
-    # stage0; b8: 747 vs 1076; 768^2: 421 vs 589) and LOSES at C = 1280
-    # (186 vs 149 us) where the 39 MB weight slab must re-stream per m-block
-    # under the VMEM budget while XLA re-uses it — keep stage2 on XLA.
-    if c > 640:
-        return False
     m = b * s
     if m % 128:
         return False
-    bm, bn = _pick_blocks(m, c, hidden, x.dtype.itemsize)
-    return bm > 0
+    layout, bm, bn = _plan(m, c, hidden, x.dtype.itemsize)
+    return layout is not None
 
 
-def _ffn_call(x2, w1v, w1g, b1v, b1g, w2, b2, *, bm, bn):
+def _ffn_call(x2, ln, w1v, w1g, b1v, b1g, w2, b2, res2, *,
+              layout, bm, bn, eps):
     m, c = x2.shape
     hidden = w2.shape[0]
-    grid = (m // bm, hidden // bn)
+    n_blocks = hidden // bn
+    m_blocks = m // bm
+    has_ln = ln is not None
+    has_res = res2 is not None
+
+    if layout == "mo":
+        grid = (m_blocks, n_blocks)
+        midx = lambda i, n: (i, 0)
+        w_c = lambda i, n: (0, n)
+        w_r = lambda i, n: (n, 0)
+        const = lambda i, n: (0, 0)
+        semantics = ("parallel", "arbitrary")
+        acc_shape = pltpu.VMEM((bm, c), jnp.float32)
+    else:
+        grid = (n_blocks, m_blocks)
+        midx = lambda n, i: (i, 0)
+        w_c = lambda n, i: (0, n)
+        w_r = lambda n, i: (n, 0)
+        const = lambda n, i: (0, 0)
+        semantics = ("arbitrary", "arbitrary")
+        acc_shape = pltpu.VMEM((m_blocks, bm, c), jnp.float32)
+
+    inputs = [x2]
+    specs = [pl.BlockSpec((bm, c), midx)]
+    if has_ln:
+        inputs += [ln[0].reshape(1, c), ln[1].reshape(1, c)]
+        specs += [pl.BlockSpec((1, c), const), pl.BlockSpec((1, c), const)]
+    inputs += [w1v, w1g, b1v, b1g, w2, b2]
+    specs += [
+        pl.BlockSpec((c, bn), w_c),
+        pl.BlockSpec((c, bn), w_c),
+        pl.BlockSpec((1, bn), w_c),
+        pl.BlockSpec((1, bn), w_c),
+        pl.BlockSpec((bn, c), w_r),
+        pl.BlockSpec((1, c), const),
+    ]
+    if has_res:
+        inputs.append(res2)
+        specs.append(pl.BlockSpec((bm, c), midx))
+
+    kernel = _make_kernel(layout, has_ln, has_res, eps)
     return pl.pallas_call(
-        _ffn_kernel,
+        kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((bm, c), lambda i, n: (i, 0)),
-            pl.BlockSpec((c, bn), lambda i, n: (0, n)),
-            pl.BlockSpec((c, bn), lambda i, n: (0, n)),
-            pl.BlockSpec((1, bn), lambda i, n: (0, n)),
-            pl.BlockSpec((1, bn), lambda i, n: (0, n)),
-            pl.BlockSpec((bn, c), lambda i, n: (n, 0)),
-            pl.BlockSpec((1, c), lambda i, n: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((bm, c), lambda i, n: (i, 0)),
+        in_specs=specs,
+        out_specs=pl.BlockSpec((bm, c), midx),
         out_shape=jax.ShapeDtypeStruct((m, c), x2.dtype),
-        scratch_shapes=[pltpu.VMEM((bm, c), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
-        ),
+        scratch_shapes=[acc_shape],
+        compiler_params=pltpu.CompilerParams(dimension_semantics=semantics),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * c * 3 * hidden,
             bytes_accessed=(2 * m * c + 3 * c * hidden) * x2.dtype.itemsize,
             transcendentals=m * hidden,
         ),
-    )(x2, w1v, w1g, b1v, b1g, w2, b2)
+    )(*inputs)
 
 
 def _ffn_xla(x, w1, b1, w2, b2):
     h = jnp.dot(x, w1.astype(x.dtype), preferred_element_type=x.dtype) + b1.astype(x.dtype)
     x1, gate = jnp.split(h, 2, axis=-1)
-    h = x1 * _gelu_f32(gate.astype(jnp.float32)).astype(x.dtype)
+    h = x1 * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(x.dtype)
     return jnp.dot(h, w2.astype(x.dtype), preferred_element_type=x.dtype) + b2.astype(x.dtype)
 
 
-@jax.custom_vjp
-def _ffn(x, w1, b1, w2, b2):
+def _ffn_impl(x, gamma, beta, w1, b1, w2, b2, res, eps):
     b, s, c = x.shape
     hidden = w2.shape[0]
     w1 = w1.astype(x.dtype)
@@ -171,9 +253,17 @@ def _ffn(x, w1, b1, w2, b2):
     b1v, b1g = b1f[:hidden].reshape(1, hidden), b1f[hidden:].reshape(1, hidden)
     b2f = b2.astype(jnp.float32).reshape(1, c)
     x2 = x.reshape(b * s, c)
-    bm, bn = _pick_blocks(b * s, c, hidden, x.dtype.itemsize)
-    out = _ffn_call(x2, w1v, w1g, b1v, b1g, w2, b2f, bm=bm, bn=bn)
+    ln = None if gamma is None else (gamma.astype(jnp.float32), beta.astype(jnp.float32))
+    res2 = None if res is None else res.reshape(b * s, c)
+    layout, bm, bn = _plan(b * s, c, hidden, x.dtype.itemsize)
+    out = _ffn_call(x2, ln, w1v, w1g, b1v, b1g, w2, b2f, res2,
+                    layout=layout, bm=bm, bn=bn, eps=eps)
     return out.reshape(b, s, c)
+
+
+@jax.custom_vjp
+def _ffn(x, w1, b1, w2, b2):
+    return _ffn_impl(x, None, None, w1, b1, w2, b2, None, 1e-5)
 
 
 def _ffn_fwd(x, w1, b1, w2, b2):
@@ -189,12 +279,43 @@ def _ffn_bwd(res, g):
 _ffn.defvjp(_ffn_fwd, _ffn_bwd)
 
 
-def geglu_ffn(ffn_params, x: jax.Array, *, impl: str = "auto") -> jax.Array:
-    """The attention block's FFN: GeGLU proj + output linear.
+def _ln_ffn_res_xla(x, gamma, beta, w1, b1, w2, b2, res, eps):
+    from stable_diffusion_tpu.models import layers
+
+    h = layers.layer_norm({"scale": gamma, "bias": beta}, x, eps=eps)
+    return _ffn_xla(h, w1, b1, w2, b2) + res
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _ln_ffn_res(x, gamma, beta, w1, b1, w2, b2, res, eps):
+    return _ffn_impl(x, gamma, beta, w1, b1, w2, b2, res, eps)
+
+
+def _ln_ffn_res_fwd(x, gamma, beta, w1, b1, w2, b2, res, eps):
+    out = _ln_ffn_res(x, gamma, beta, w1, b1, w2, b2, res, eps)
+    return out, (x, gamma, beta, w1, b1, w2, b2, res)
+
+
+def _ln_ffn_res_bwd(eps, saved, g):
+    x, gamma, beta, w1, b1, w2, b2, res = saved
+    _, vjp = jax.vjp(
+        lambda *a: _ln_ffn_res_xla(*a, eps), x, gamma, beta, w1, b1, w2, b2, res
+    )
+    return vjp(g)
+
+
+_ln_ffn_res.defvjp(_ln_ffn_res_fwd, _ln_ffn_res_bwd)
+
+
+def geglu_ffn(ffn_params, x: jax.Array, *, ln_params=None, residual=None,
+              eps: float = 1e-5, impl: str = "auto") -> jax.Array:
+    """The attention block's FFN: (LN ->) GeGLU proj + output linear
+    (-> +residual), fused into one Pallas kernel on TPU for covered shapes.
 
     ``ffn_params``: {"0": {"proj": linear}, "1": linear} (reference
-    unet.py:127-150 naming).  Pallas-fused on TPU for covered shapes; the
-    quantized (int8) and uncovered forms fall back to the layer path.
+    unet.py:127-150 naming).  ``ln_params``/``residual``, when given, fold
+    the pre-LN and the residual add into the kernel.  The quantized (int8)
+    and uncovered forms fall back to the layer path.
     """
     from stable_diffusion_tpu.models import layers
 
@@ -204,6 +325,15 @@ def geglu_ffn(ffn_params, x: jax.Array, *, impl: str = "auto") -> jax.Array:
     if (want and "kernel" in p0 and "kernel" in p1
             and "bias" in p0 and "bias" in p1
             and supported(x, p0["kernel"])):
-        return _ffn(x, p0["kernel"], p0["bias"], p1["kernel"], p1["bias"])
-    h = layers.geglu(ffn_params["0"], x)
-    return layers.linear(p1, h)
+        if ln_params is not None:
+            r = residual if residual is not None else jnp.zeros_like(x)
+            return _ln_ffn_res(
+                x, ln_params["scale"], ln_params["bias"],
+                p0["kernel"], p0["bias"], p1["kernel"], p1["bias"], r, eps,
+            )
+        out = _ffn(x, p0["kernel"], p0["bias"], p1["kernel"], p1["bias"])
+        return out if residual is None else out + residual
+    h = x if ln_params is None else layers.layer_norm(ln_params, x, eps=eps)
+    h = layers.geglu(ffn_params["0"], h)
+    h = layers.linear(p1, h)
+    return h if residual is None else h + residual

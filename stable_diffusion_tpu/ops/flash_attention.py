@@ -41,11 +41,15 @@ def _padded_dim(d: int) -> int:
     return 0
 
 
-def _pick_blocks(seq: int, width: int):
-    """width = num_heads * padded_head_dim (the merged lane dim)."""
-    if width <= 512:
+def _pick_blocks(seq: int, width: int, itemsize: int = 2):
+    """width = num_heads * padded_head_dim (the merged lane dim).  Blocks are
+    sized for bf16; f32 inputs (itemsize 4 — e.g. an all-f32 training
+    config) use the next tier down so the online kernel's double-buffered
+    blocks stay inside VMEM."""
+    eff = width * itemsize // 2
+    if eff <= 512:
         bq, bk = 512, 1024
-    elif width <= 1024:
+    elif eff <= 1024:
         bq, bk = 256, 512
     else:
         bq, bk = 256, 256
@@ -63,7 +67,7 @@ def supported(q: jax.Array, k: jax.Array) -> bool:
     dp = _padded_dim(d)
     if dp == 0:
         return False
-    bq, bk = _pick_blocks(sq, h * dp)
+    bq, bk = _pick_blocks(sq, h * dp, q.dtype.itemsize)
     return sq % bq == 0 and sk % bk == 0 and sq >= 128
 
 
@@ -128,7 +132,7 @@ def _flash_merged_online(q, k, v, *, scale: float, num_heads: int, head_dim: int
     """Online-softmax path (kv-blocked) for sequences whose full K/V exceed
     the VMEM budget.  q, k, v: (B, S, H*Dp) -> (B, S, H*Dp)."""
     b, s, w = q.shape
-    bq, bk = _pick_blocks(s, w)
+    bq, bk = _pick_blocks(s, w, q.dtype.itemsize)
     grid = (b, s // bq, s // bk)
     kernel = functools.partial(
         _flash_kernel, scale=scale, num_heads=num_heads, head_dim=head_dim
@@ -443,11 +447,12 @@ def premerged_width(num_heads: int, d: int) -> int:
     return (num_heads * dp + 127) // 128 * 128
 
 
-def premerged_self_supported(b: int, s: int, num_heads: int, d: int) -> bool:
+def premerged_self_supported(b: int, s: int, num_heads: int, d: int,
+                             itemsize: int = 2) -> bool:
     w = premerged_width(num_heads, d)
     if w == 0:
         return False
-    bq, bk = _pick_blocks(s, w)
+    bq, bk = _pick_blocks(s, w, itemsize)
     return s % bq == 0 and s % bk == 0 and s >= 128
 
 

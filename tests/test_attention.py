@@ -187,3 +187,23 @@ def test_premerged_grad_flows(rng):
     g1 = np.asarray(jax.grad(loss_flash)(x))
     g2 = np.asarray(jax.grad(loss_xla)(x))
     np.testing.assert_allclose(g1, g2, atol=5e-4, rtol=1e-3)
+
+
+def test_premerged_w8a8_matches_dequantized(rng):
+    """The int8 premerged path ~= running the same dequantized weights."""
+    from jax.experimental.pallas import tpu as pltpu
+    from stable_diffusion_tpu.models.attention import (
+        init_multihead_attention, multihead_attention)
+    from stable_diffusion_tpu.utils.quantize_model import (
+        attach_act_scales, quantize_params)
+
+    e, heads = 320, 8
+    p = init_multihead_attention(jax.random.key(3), e, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((1, 128, e)) * 0.5, jnp.float32)
+    pq = attach_act_scales(quantize_params(p), scale=4.0)
+    # oracle: the established (non-premerged) W8A8 path — same quantizer,
+    # so the premerged layout must reproduce it numerically
+    want = np.asarray(multihead_attention(pq, x, num_heads=heads, impl="xla"))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(multihead_attention(pq, x, num_heads=heads, impl="flash"))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)

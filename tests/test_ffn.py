@@ -81,3 +81,45 @@ def test_supported_gate():
     assert not ffn_ops.supported(jnp.zeros((2, 100, 320), jnp.bfloat16), w1)  # M % 128
     assert not ffn_ops.supported(jnp.zeros((2, 256, 300), jnp.bfloat16),
                                  jnp.zeros((300, 2400), jnp.bfloat16))  # C % 128
+
+
+def test_ln_ffn_res_fused_matches_layers():
+    """Fused LN + GeGLU-FFN + residual == the layer path, both layouts."""
+    for (b, s, c, hidden) in [(2, 256, 128, 512), (1, 128, 512, 2048)]:
+        p = _params(None, c, hidden)
+        ln = {"scale": jnp.asarray(np.random.default_rng(5).standard_normal(c), jnp.float32),
+              "bias": jnp.asarray(np.random.default_rng(6).standard_normal(c), jnp.float32)}
+        x = jax.random.normal(jax.random.key(7), (b, s, c), jnp.float32)
+        want = np.asarray(_ref(p, layers.layer_norm(ln, x)) + x)
+        with pltpu.force_tpu_interpret_mode():
+            got = np.asarray(ffn_ops.geglu_ffn(
+                p, x, ln_params=ln, residual=x, impl="pallas"))
+        np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+
+def test_ln_ffn_res_grad_matches():
+    c, hidden = 128, 512
+    p = _params(None, c, hidden)
+    ln = {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+    x = jax.random.normal(jax.random.key(8), (1, 128, c), jnp.float32)
+
+    def loss_fused(x):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(ffn_ops.geglu_ffn(
+                p, x, ln_params=ln, residual=x, impl="pallas") ** 2)
+
+    def loss_ref(x):
+        return jnp.sum((_ref(p, layers.layer_norm(ln, x)) + x) ** 2)
+
+    g1 = np.asarray(jax.grad(loss_fused)(x))
+    g2 = np.asarray(jax.grad(loss_ref)(x))
+    np.testing.assert_allclose(g1, g2, atol=1e-3, rtol=1e-3)
+
+
+def test_n_outer_layout_picked_for_wide_c():
+    # stage2-like shape: the persistent-acc n-outer layout must be chosen
+    layout, bm, bn = ffn_ops._plan(512, 1280, 5120, 2)
+    assert layout == "no", (layout, bm, bn)
+    # stage0-like: everything fits resident -> m-outer single-n
+    layout, bm, bn = ffn_ops._plan(8192, 320, 1280, 2)
+    assert layout == "mo" and bn == 1280
