@@ -29,14 +29,14 @@ N1, N2 = 10, 40
 
 def diff_time(make, *args):
     f1, f2 = make(N1), make(N2)
-    np.asarray(jax.tree.leaves(f1(*args))[0])[:1]
-    np.asarray(jax.tree.leaves(f2(*args))[0])[:1]
+    np.asarray(jax.tree.leaves(f1(*args))[0])
+    np.asarray(jax.tree.leaves(f2(*args))[0])
     ts = []
     for f in (f1, f2):
         best = 1e9
         for _ in range(3):
             t0 = time.perf_counter()
-            np.asarray(jax.tree.leaves(f(*args))[0])[:1]
+            np.asarray(jax.tree.leaves(f(*args))[0])
             best = min(best, time.perf_counter() - t0)
         ts.append(best)
     return (ts[1] - ts[0]) / (N2 - N1)

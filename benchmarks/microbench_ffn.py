@@ -16,18 +16,24 @@ import numpy as np
 
 from stable_diffusion_tpu.ops import ffn as ffn_ops
 
-ITERS = 50
+N1, N2 = 20, 100
 
 
-def timed(f, *args):
-    # axon: block_until_ready does not block -> force a value fetch
-    np.asarray(jax.tree.leaves(f(*args))[0][:1, :1])
-    best = 1e9
-    for _ in range(3):
-        t0 = time.perf_counter()
-        np.asarray(jax.tree.leaves(f(*args))[0][:1, :1])
-        best = min(best, time.perf_counter() - t0)
-    return best / ITERS
+def diff_time(make, *args):
+    """Two-length chained-scan differential: subtracts the ~26 ms relay
+    dispatch+fetch overhead that a single-length chain bakes into t/iter."""
+    f1, f2 = make(N1), make(N2)
+    np.asarray(jax.tree.leaves(f1(*args))[0][:1, :1])
+    np.asarray(jax.tree.leaves(f2(*args))[0][:1, :1])
+    ts = []
+    for f in (f1, f2):
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            np.asarray(jax.tree.leaves(f(*args))[0][:1, :1])
+            best = min(best, time.perf_counter() - t0)
+        ts.append(best)
+    return (ts[1] - ts[0]) / (N2 - N1)
 
 
 def main():
@@ -54,19 +60,23 @@ def main():
             },
         }
 
-        @functools.partial(jax.jit, static_argnums=(2,))
-        def chain(x, p, impl):
-            def body(x, _):
-                y = ffn_ops.geglu_ffn(p, x, impl=impl)
-                return y * jnp.bfloat16(0.999), None
-            x, _ = jax.lax.scan(body, x, None, length=ITERS)
-            return x
+        ln = {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+        def make(iters, impl):
+            @jax.jit
+            def run(x, p):
+                def body(x, _):
+                    y = ffn_ops.geglu_ffn(p, x, ln_params=ln, residual=x, impl=impl)
+                    return y * jnp.bfloat16(0.5), None
+                x, _ = jax.lax.scan(body, x, None, length=iters)
+                return x
+            return run
 
         if not ffn_ops.supported(x, p["0"]["proj"]["kernel"]):
             print(f"ffn b{b} s{s} c{c}: unsupported")
             continue
-        t_pal = timed(chain, x, p, "pallas")
-        t_xla = timed(chain, x, p, "xla")
+        t_pal = diff_time(lambda n: make(n, "pallas"), x, p)
+        t_xla = diff_time(lambda n: make(n, "xla"), x, p)
         fl = 2 * b * s * c * 3 * hidden
         print(
             f"ffn b{b} s{s} c{c}: pallas {t_pal*1e3:7.3f} ms ({fl/t_pal/1e12:5.1f} TF/s)  "

@@ -93,7 +93,7 @@ def calibrate_unet(params, ucfg, tcfg):
             tcfg, impl="xla", dtype=jnp.bfloat16,
         )
         batches = []
-        for i, t in enumerate((999, 700, 400, 100)):
+        for i, t in enumerate((999, 100)):
             x = jax.random.normal(jax.random.key(10 + i), (2, 64, 64, 4), jnp.bfloat16)
             batches.append((x, jnp.asarray([t], jnp.int32), ctx))
 
@@ -121,7 +121,8 @@ def stats(name, lat, img, lat0, img0):
 
 
 def main():
-    print(f"backend={jax.default_backend()} steps={STEPS}", flush=True)
+    modes = os.environ.get("QD_MODES", "deepcache,int8").split(",")
+    print(f"backend={jax.default_backend()} steps={STEPS} modes={modes}", flush=True)
     params, ucfg, tcfg, vcfg = build_params()
     cond = np.zeros((1, 77), np.int64)
     unc = np.ones((1, 77), np.int64)
@@ -132,31 +133,30 @@ def main():
     print(f"exact path done ({time.time()-t0:.0f}s) "
           f"lat var={np.var(lat0):.4f} img mean={img0.mean():.4f}", flush=True)
 
-    # DeepCache (no quantization)
-    for k in (2, 3):
-        lat, img = run_mode(pipe, cond, unc, deepcache=k)
-        stats(f"deepcache k={k}", lat, img, lat0, img0)
+    if "deepcache" in modes:
+        for k in (2, 3):
+            lat, img = run_mode(pipe, cond, unc, deepcache=k)
+            stats(f"deepcache k={k}", lat, img, lat0, img0)
 
-    # Weight-only int8 linears
-    p = dict(params)
-    p["unet"] = QM.quantize_unet(params["unet"])
-    lat, img = run_mode(make_pipe(p, ucfg, tcfg, vcfg), cond, unc)
-    stats("int8-w", lat, img, lat0, img0)
+    if "int8" in modes:
+        p = dict(params)
+        p["unet"] = QM.quantize_unet(params["unet"])
+        lat, img = run_mode(make_pipe(p, ucfg, tcfg, vcfg), cond, unc)
+        stats("int8-w", lat, img, lat0, img0)
 
-    # Calibrated W8A8 (linears), then full (convs too)
-    t0 = time.time()
-    cal = calibrate_unet(params, ucfg, tcfg)
-    print(f"calibration sweep done ({time.time()-t0:.0f}s)", flush=True)
+        t0 = time.time()
+        cal = calibrate_unet(params, ucfg, tcfg)
+        print(f"calibration sweep done ({time.time()-t0:.0f}s)", flush=True)
 
-    p = dict(params)
-    p["unet"] = QM.quantize_params(cal)
-    lat, img = run_mode(make_pipe(p, ucfg, tcfg, vcfg), cond, unc)
-    stats("w8a8-linears", lat, img, lat0, img0)
+        p = dict(params)
+        p["unet"] = QM.quantize_params(cal)
+        lat, img = run_mode(make_pipe(p, ucfg, tcfg, vcfg), cond, unc)
+        stats("w8a8-linears", lat, img, lat0, img0)
 
-    p = dict(params)
-    p["unet"] = QM.quantize_convs(QM.quantize_params(cal))
-    lat, img = run_mode(make_pipe(p, ucfg, tcfg, vcfg), cond, unc)
-    stats("w8a8-full", lat, img, lat0, img0)
+        p = dict(params)
+        p["unet"] = QM.quantize_convs(QM.quantize_params(cal))
+        lat, img = run_mode(make_pipe(p, ucfg, tcfg, vcfg), cond, unc)
+        stats("w8a8-full", lat, img, lat0, img0)
 
 
 if __name__ == "__main__":

@@ -65,6 +65,26 @@ def linear(params, x: jax.Array) -> jax.Array:
     return y
 
 
+def use_im2col_conv(x_shape, kernel_shape) -> bool:
+    """True when a 3x3 SAME stride-1 conv should lower to an explicit
+    (BHW, 9C) im2col dot instead of XLA's spatial conv or the Pallas kernel.
+
+    Measured envelope (benchmarks/microbench_im2col.py, diff-timed on v5e):
+      * tiny spatial (h*w <= 128, the 8^2 bottleneck): dot always wins
+        (44 -> 28 us at 1280->1280, 104 -> 67 at 2560->1280);
+      * big-K concat convs (Cin >= 1.5*Cout) at 16^2/32^2: dot wins
+        (2560->1280: 151 vs Pallas 244 / XLA 252 us; 1920->640: 294 vs
+        382/324) as long as the materialized im2col buffer stays modest —
+        at 64^2 big-K it explodes (142 MB -> 756 us) and loses.
+    """
+    b, h, w, cin = x_shape
+    cout = kernel_shape[-1]
+    if h * w <= 128:
+        return True
+    buf_bytes = b * h * w * 9 * cin * 2
+    return 2 * cin >= 3 * cout and buf_bytes <= 80 * 1024 * 1024
+
+
 def conv2d(
     params,
     x: jax.Array,
@@ -101,12 +121,12 @@ def conv2d(
         return y
     if (kernel.shape[0] == kernel.shape[1] == 3 and stride == 1
             and padding in ("SAME", 1, ((1, 1), (1, 1)))
-            and x.shape[1] * x.shape[2] <= 128):
-        # Small-spatial 3x3 conv as an explicit im2col dot: XLA's spatial conv
-        # emitter assigns T(2,128) layouts and runs ~68-85 TF/s at the 8^2
-        # bottleneck shapes, forcing relayouts against the row-major Pallas
-        # neighbors; the (BHW, 9C) x (9C, Cout) dot runs ~112-132 TF/s and
-        # keeps T(8,128) (measured, benchmarks round 3).
+            and use_im2col_conv(x.shape, kernel.shape)):
+        # 3x3 conv as an explicit im2col dot where measured faster: XLA's
+        # spatial conv emitter assigns T(2,128) layouts and runs ~68-85 TF/s
+        # at the 8^2 bottleneck shapes, forcing relayouts against the
+        # row-major Pallas neighbors; the (BHW, 9C) x (9C, Cout) dot runs
+        # ~112-200 TF/s and keeps T(8,128) (benchmarks/microbench_im2col.py).
         b, h, w, c = x.shape
         co = kernel.shape[-1]
         xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))

@@ -191,6 +191,12 @@ def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
     # bandwidth-bound large-spatial/small-C VAE shapes (256^2+) stay XLA.
     if not (256 <= h * w <= 9216) or c < 320 or b > MAX_KERNEL_BATCH:
         return False
+    # big-K concat shapes where the XLA im2col dot is measured faster than
+    # this kernel route there instead (models/layers.use_im2col_conv)
+    from stable_diffusion_tpu.models.layers import use_im2col_conv
+
+    if use_im2col_conv(x.shape, kernel.shape):
+        return False
     c3p, bh, bn, kc = _plan(h, w, c, cout, x.dtype.itemsize)
     return bh > 0 and bn > 0
 
@@ -464,6 +470,43 @@ def _gn_conv_bwd(num_groups, eps, res, g):
 _gn_silu_conv.defvjp(_gn_conv_fwd, _gn_conv_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _gn_silu_im2col(gamma, beta, x, kernel, bias, num_groups, eps):
+    """GN-SiLU (stats via the Pallas GN kernel) + im2col-dot conv.  Wrapped
+    in a custom VJP: the raw stats kernel has no JVP rule, so the backward
+    recomputes through the pure-XLA formulation (like _gn_silu_conv)."""
+    from stable_diffusion_tpu.ops.groupnorm import gn_scale_shift
+
+    ss = gn_scale_shift({"scale": gamma, "bias": beta}, x,
+                        num_groups=num_groups, eps=eps)
+    xf = x.astype(jnp.float32)
+    xn = xf * ss[:, 0][:, None, None, :] + ss[:, 1][:, None, None, :]
+    xn = (xn * jax.nn.sigmoid(xn)).astype(x.dtype)
+    from stable_diffusion_tpu.models import layers
+
+    p = {"kernel": kernel}
+    if bias is not None:
+        p["bias"] = bias
+    return layers.conv2d(p, xn)
+
+
+def _gn_im2col_fwd(gamma, beta, x, kernel, bias, num_groups, eps):
+    out = _gn_silu_im2col(gamma, beta, x, kernel, bias, num_groups, eps)
+    return out, (gamma, beta, x, kernel, bias)
+
+
+def _gn_im2col_bwd(num_groups, eps, res, g):
+    gamma, beta, x, kernel, bias = res
+    _, vjp = jax.vjp(
+        lambda a, b, c, d, e: _gn_silu_conv_xla(a, b, c, d, e, num_groups, eps),
+        gamma, beta, x, kernel, bias,
+    )
+    return vjp(g)
+
+
+_gn_silu_im2col.defvjp(_gn_im2col_fwd, _gn_im2col_bwd)
+
+
 def gn_silu_conv3x3(
     gn_params,
     conv_params,
@@ -505,6 +548,15 @@ def gn_silu_conv3x3(
             and x.shape[-1] % num_groups == 0):
         return _gn_silu_conv(gn_params["scale"], gn_params["bias"], x,
                              kernel, bias, num_groups, eps)
+    from stable_diffusion_tpu.models.layers import use_im2col_conv
+
+    if (want and kernel.shape[:2] == (3, 3)
+            and use_im2col_conv(x.shape, kernel.shape)
+            and x.shape[-1] % num_groups == 0):
+        # im2col-dot shapes: normalize+SiLU as XLA elementwise (fuses into
+        # the im2col pad/concat producer), stats via the streaming GN kernel
+        return _gn_silu_im2col(gn_params["scale"], gn_params["bias"], x,
+                               kernel, bias, num_groups, eps)
     from stable_diffusion_tpu.ops.groupnorm import group_norm_silu
 
     h = group_norm_silu(gn_params, x, num_groups=num_groups, eps=eps,

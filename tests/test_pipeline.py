@@ -208,7 +208,9 @@ def test_img2img_fused_path_taken_and_matches_modular(tiny, rng, monkeypatch):
     latents = pipe.generate(**kw, return_latents=True)
     imgs = P._decode_jit(pipe.params["vae"], jnp.asarray(latents), pipe.vae_config, pipe.impl)
     modular = np.asarray((np.asarray(imgs, np.float32) + 1.0) / 2.0)
-    np.testing.assert_allclose(fused, modular, atol=1e-5)
+    # 2e-5: the im2col conv dots fuse differently in the one-program vs
+    # modular contexts (XLA CPU accumulation-order noise, ~1e-5)
+    np.testing.assert_allclose(fused, modular, atol=2e-5)
 
 
 def test_training_loss(tiny, rng):
