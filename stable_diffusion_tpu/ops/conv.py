@@ -161,9 +161,12 @@ def _plan(h: int, w: int, c: int, cout: int, itemsize: int):
     return 0, 0, 0, 0
 
 
-# Batch cutoff of the measured win envelope (see supported()); module-level
-# so microbenches can A/B the kernel beyond it (benchmarks/microbench_conv.py)
+# Measured win envelope bounds (see supported()); module-level so
+# microbenches can A/B the kernel beyond them (benchmarks/microbench_*.py)
 MAX_KERNEL_BATCH = 4
+MIN_AREA = 256
+MAX_AREA = 9216
+MIN_CHANNELS = 320
 
 
 def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
@@ -189,7 +192,7 @@ def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
     # the standalone winners.  So: keep layout coherence for model batch <= 4;
     # at batch >= 8 (serving/one-step configs) XLA wins in-program too, and
     # bandwidth-bound large-spatial/small-C VAE shapes (256^2+) stay XLA.
-    if not (256 <= h * w <= 9216) or c < 320 or b > MAX_KERNEL_BATCH:
+    if not (MIN_AREA <= h * w <= MAX_AREA) or c < MIN_CHANNELS or b > MAX_KERNEL_BATCH:
         return False
     # big-K concat shapes where the XLA im2col dot is measured faster than
     # this kernel route there instead (models/layers.use_im2col_conv)
