@@ -167,6 +167,16 @@ MAX_KERNEL_BATCH = 4
 MIN_AREA = 256
 MAX_AREA = 9216
 MIN_CHANNELS = 320
+# VAE large-spatial envelope (see supported()): at batch 1-2 in-program XLA
+# runs the decoder convs at 27-37 TF/s in T(2,128) layouts while this kernel
+# keeps its standalone rate — full decode ms/img measured
+# (benchmarks/microbench_vae_decode.py + /tmp A/B, ms/img kernel vs XLA):
+#   b1 34.2/79.0  b2 39.8/45.5  b4 41.2/30.1  b8 43.1/22.0  b32 47.8/21.9
+# At batch >= 4 XLA's conv gets tall M and escapes the degradation, so the
+# envelope caps at batch 2 (the b1 headline + b2 CFG shapes).
+LARGE_MAX_AREA = 768 * 768
+LARGE_MIN_CHANNELS = 128
+LARGE_MAX_BATCH = 2
 
 
 def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
@@ -192,7 +202,15 @@ def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
     # the standalone winners.  So: keep layout coherence for model batch <= 4;
     # at batch >= 8 (serving/one-step configs) XLA wins in-program too, and
     # bandwidth-bound large-spatial/small-C VAE shapes (256^2+) stay XLA.
-    if not (MIN_AREA <= h * w <= MAX_AREA) or c < MIN_CHANNELS or b > MAX_KERNEL_BATCH:
+    small = (MIN_AREA <= h * w <= MAX_AREA and c >= MIN_CHANNELS
+             and b <= MAX_KERNEL_BATCH)
+    # VAE encoder/decoder large-spatial shapes (128^2..768^2, C 128..512):
+    # measured 2.3x on the full 512^2 decode (microbench_vae_decode.py).
+    # cout >= 128 keeps the tiny-N output head (128->3) on XLA, where a
+    # bn=cout=3 block would run lanes 2% full.
+    large = (MAX_AREA < h * w <= LARGE_MAX_AREA and c >= LARGE_MIN_CHANNELS
+             and cout >= 128 and b <= LARGE_MAX_BATCH)
+    if not (small or large):
         return False
     # big-K concat shapes where the XLA im2col dot is measured faster than
     # this kernel route there instead (models/layers.use_im2col_conv)
@@ -240,8 +258,14 @@ def _conv3x3_call(x3, w3, bias, *, bh: int, bn: int, kc: int, h: int, out_dtype)
     )(x3, w3, bias)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _conv3x3(x, kernel, bias):
+# The width-im2col build materializes x3 = (B, H+2, W, 3C) in HBM — 3x the
+# input bytes.  At serving batches on VAE large-spatial shapes that explodes
+# (b32 512^2 C256: 12 GB); chunk the batch through lax.map so only one
+# chunk's x3 is live at a time (the pallas grid was batch-sequential anyway).
+_X3_MAX_BYTES = 1792 * 1024 * 1024
+
+
+def _conv3x3_impl(x, kernel, bias):
     b, h, w, c = x.shape
     cout = kernel.shape[-1]
     xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
@@ -262,6 +286,27 @@ def _conv3x3(x, kernel, bias):
     b2 = (bias if bias is not None else jnp.zeros((cout,), x.dtype))
     b2 = b2.astype(jnp.float32).reshape(1, cout)
     return _conv3x3_call(x3, w3, b2, bh=bh, bn=bn, kc=kc, h=h, out_dtype=x.dtype)
+
+
+def _batch_chunk(b: int, h: int, w: int, c: int, itemsize: int) -> int:
+    """Largest divisor of b whose x3 slab stays under _X3_MAX_BYTES."""
+    c3p = (3 * c + 127) // 128 * 128
+    per = (h + 2) * w * c3p * itemsize
+    bc = b
+    while bc > 1 and (bc * per > _X3_MAX_BYTES or b % bc):
+        bc -= 1
+    return bc
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _conv3x3(x, kernel, bias):
+    b, h, w, c = x.shape
+    bc = _batch_chunk(b, h, w, c, x.dtype.itemsize)
+    if bc < b:
+        xs = x.reshape(b // bc, bc, h, w, c)
+        y = jax.lax.map(lambda xc: _conv3x3_impl(xc, kernel, bias), xs)
+        return y.reshape(b, h, w, kernel.shape[-1])
+    return _conv3x3_impl(x, kernel, bias)
 
 
 def _conv3x3_q_kernel(x3_hbm, w_ref, s_ref, b_ref, o_ref, xwin, sem, acc_ref, *,
@@ -364,6 +409,24 @@ def quant_supported(x, kernel_q, stride: int, padding) -> bool:
     return x.shape[2] % 32 == 0
 
 
+def _conv3x3_q_impl(xq, kernel_q, scales, b2, out_dtype):
+    b, h, w, c = xq.shape
+    cout = kernel_q.shape[-1]
+    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    x3 = jnp.concatenate(
+        [xp[:, :, 0:w, :], xp[:, :, 1 : w + 1, :], xp[:, :, 2 : w + 2, :]],
+        axis=-1,
+    )
+    w3 = kernel_q.reshape(3, 3 * c, cout)
+    c3p, bh, bn, kc = _plan(h, w, c, cout, 1)
+    if c3p != 3 * c:
+        x3 = jnp.pad(x3, ((0, 0), (0, 0), (0, 0), (0, c3p - 3 * c)))
+        w3 = jnp.pad(w3, ((0, 0), (0, c3p - 3 * c), (0, 0)))
+    return _conv3x3_q_call(
+        x3, w3, scales, b2, bh=bh, bn=bn, kc=kc, h=h, out_dtype=out_dtype
+    )
+
+
 @jax.custom_vjp
 def _conv3x3_q(xn, kernel_q, kernel_scale, act_scale, bias):
     """xn: normalized activations (bf16/f32); weights int8 HWIO; act_scale
@@ -378,22 +441,17 @@ def _conv3x3_q(xn, kernel_q, kernel_scale, act_scale, bias):
     xq = jnp.round(
         jnp.clip(xn.astype(jnp.float32) / s_x, -127.0, 127.0)
     ).astype(jnp.int8)
-    xp = jnp.pad(xq, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    x3 = jnp.concatenate(
-        [xp[:, :, 0:w, :], xp[:, :, 1 : w + 1, :], xp[:, :, 2 : w + 2, :]],
-        axis=-1,
-    )
-    w3 = kernel_q.reshape(3, 3 * c, cout)
-    c3p, bh, bn, kc = _plan(h, w, c, cout, 1)
-    if c3p != 3 * c:
-        x3 = jnp.pad(x3, ((0, 0), (0, 0), (0, 0), (0, c3p - 3 * c)))
-        w3 = jnp.pad(w3, ((0, 0), (0, c3p - 3 * c), (0, 0)))
     scales = (s_x * kernel_scale.astype(jnp.float32).reshape(-1)).reshape(1, cout)
     b2 = (bias if bias is not None else jnp.zeros((cout,), xn.dtype))
     b2 = b2.astype(jnp.float32).reshape(1, cout)
-    return _conv3x3_q_call(
-        x3, w3, scales, b2, bh=bh, bn=bn, kc=kc, h=h, out_dtype=xn.dtype
-    )
+    bc = _batch_chunk(b, h, w, c, 1)
+    if bc < b:
+        xs = xq.reshape(b // bc, bc, h, w, c)
+        y = jax.lax.map(
+            lambda xc: _conv3x3_q_impl(xc, kernel_q, scales, b2, xn.dtype), xs
+        )
+        return y.reshape(b, h, w, cout)
+    return _conv3x3_q_impl(xq, kernel_q, scales, b2, xn.dtype)
 
 
 def _conv3x3_q_fwd(xn, kernel_q, kernel_scale, act_scale, bias):

@@ -39,8 +39,20 @@ def test_supported_gating():
     assert not C.supported(jnp.zeros((8, 64, 64, 320), jnp.bfloat16), k, 1, "SAME")
     assert not C.supported(jnp.zeros((2, 8, 8, 1280), jnp.bfloat16),
                            jnp.zeros((3, 3, 1280, 1280), jnp.bfloat16), 1, "SAME")
+    # VAE large-spatial envelope: decoder/encoder resblock convs take the
+    # kernel at batch <= 2 (decode 79 -> 34 ms/img at b1,
+    # microbench_vae_decode.py); XLA's tall-M conv wins at batch >= 4; the
+    # tiny-N output head (128->3) stays XLA
+    assert C.supported(jnp.zeros((1, 512, 512, 128), jnp.bfloat16),
+                       jnp.zeros((3, 3, 128, 128), jnp.bfloat16), 1, "SAME")
+    assert C.supported(jnp.zeros((2, 256, 256, 512), jnp.bfloat16),
+                       jnp.zeros((3, 3, 512, 512), jnp.bfloat16), 1, "SAME")
+    assert not C.supported(jnp.zeros((4, 128, 128, 512), jnp.bfloat16),
+                           jnp.zeros((3, 3, 512, 512), jnp.bfloat16), 1, "SAME")
     assert not C.supported(jnp.zeros((1, 512, 512, 128), jnp.bfloat16),
-                           jnp.zeros((3, 3, 128, 128), jnp.bfloat16), 1, "SAME")
+                           jnp.zeros((3, 3, 128, 3), jnp.bfloat16), 1, "SAME")
+    assert not C.supported(jnp.zeros((1, 512, 512, 64), jnp.bfloat16),
+                           jnp.zeros((3, 3, 64, 128), jnp.bfloat16), 1, "SAME")
     # in the envelope (layout coherence): 16^2..96^2 resblock/upsample convs,
     # incl. big-K skip-concat shapes via K-blocked weights + c3p escalation
     assert C.supported(jnp.zeros((2, 64, 64, 960), jnp.bfloat16),
