@@ -207,3 +207,34 @@ def test_premerged_w8a8_matches_dequantized(rng):
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(multihead_attention(pq, x, num_heads=heads, impl="flash"))
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_flash_bwd_matches_xla_vjp(rng):
+    """The two-pass fused flash backward (ops/flash_attention.py pass A/B)
+    reproduces the XLA recompute VJP's dq/dk/dv (interpret mode, f32).
+
+    Replaces the reference's reliance on the flash_attn CUDA wheel's fused
+    backward (reference models/unet/attention.py:52-67) with a TPU kernel."""
+    from jax.experimental.pallas import tpu as pltpu
+    from stable_diffusion_tpu.ops import flash_attention as fa
+
+    b, s, heads, dp = 1, 512, 2, 64
+    w = heads * dp
+    assert fa.bwd_premerged_supported(b, s, w, 4)
+    scale = dp ** -0.5
+    q = jnp.asarray(rng.standard_normal((b, s, w)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, s, w)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, s, w)) * 0.3, jnp.float32)
+    g = jnp.asarray(rng.standard_normal((b, s, w)) * 0.3, jnp.float32)
+
+    o, vjp = jax.vjp(
+        lambda q_, k_, v_: fa._xla_ref_premerged(q_, k_, v_, scale, heads, dp),
+        q, k, v,
+    )
+    want = vjp(g)
+    with pltpu.force_tpu_interpret_mode():
+        got = fa._premerged_flash_bwd(q, k, v, o, g, scale, heads, dp)
+    for name, a, bb in zip(("dq", "dk", "dv"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), atol=2e-4, rtol=1e-3, err_msg=name
+        )
