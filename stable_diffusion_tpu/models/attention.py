@@ -32,8 +32,17 @@ def multihead_attention(
     causal: bool = False,
     impl: str = "auto",
     names=("q_proj", "k_proj", "v_proj", "out_proj"),
+    ln_params=None,
+    residual: Optional[jax.Array] = None,
+    ln_eps: float = 1e-5,
 ) -> jax.Array:
-    """x: (B, Sq, E); cond: (B, Sk, Ck) or None.  Returns (B, Sq, E)."""
+    """x: (B, Sq, E); cond: (B, Sk, Ck) or None.  Returns (B, Sq, E).
+
+    ``ln_params``/``residual``, when given, fold the caller's pre-LN and
+    post-attention residual add into the projection matmuls (one fused
+    LN->QKV kernel and one matmul+residual kernel on TPU, ops/linear.py)
+    instead of separate XLA elementwise passes.
+    """
     qn, kn, vn, on = names
     # Mixed-precision policy: attention computes in x's dtype.  The training
     # loss feeds an f32 text embedding (training.py dreambooth_loss) — without
@@ -55,10 +64,19 @@ def multihead_attention(
         sk = kv_in.shape[1]
         if cond is None and fa.premerged_self_supported(
                 b, sq, num_heads, d, x.dtype.itemsize):
-            return _premerged_attention(params, x, x, num_heads, d, names, cross=False)
+            return _premerged_attention(
+                params, x, x, num_heads, d, names, cross=False,
+                ln=ln_params, residual=residual, ln_eps=ln_eps)
         if (cond is not None and sk != sq
                 and fa.premerged_cross_supported(b, sq, sk, num_heads, d)):
-            return _premerged_attention(params, x, kv_in, num_heads, d, names, cross=True)
+            return _premerged_attention(
+                params, x, kv_in, num_heads, d, names, cross=True,
+                ln=ln_params, residual=residual, ln_eps=ln_eps)
+
+    if ln_params is not None:
+        x = layers.layer_norm(ln_params, x, eps=ln_eps)
+        if cond is None:
+            kv_in = x
 
     if (cond is None and "kernel" in params[qn]
             and not getattr(layers, "FORCE_UNFUSED_QKV", False)):
@@ -103,10 +121,12 @@ def multihead_attention(
 
     out = sdpa(q, k, v, causal=causal, impl=impl)
     out = out.reshape(b, sq, e)
-    return layers.linear(params[on], out)
+    out = layers.linear(params[on], out)
+    return out if residual is None else out + residual
 
 
-def _premerged_attention(params, x, kv_in, num_heads, d, names, *, cross):
+def _premerged_attention(params, x, kv_in, num_heads, d, names, *, cross,
+                         ln=None, residual=None, ln_eps=1e-5):
     """Kernel-layout attention with the per-head zero-padding folded into the
     projection WEIGHTS (built in-trace, hoisted out of the denoise scan by
     XLA's loop-invariant code motion) — the per-step pad/reshape copies of
@@ -114,10 +134,23 @@ def _premerged_attention(params, x, kv_in, num_heads, d, names, *, cross):
 
     Padded q/k lanes are zero on both sides so logits are exact; padded v
     lanes produce zero outputs, which meet zero rows in the padded out_proj.
+
+    ``ln``/``residual`` fold the caller's pre-LN into the QKV projection and
+    the residual add into the output projection (ops/linear.py fused matmuls)
+    for the bf16 paths; the int8 (W8A8) paths normalize explicitly.
     """
     from stable_diffusion_tpu.ops import flash_attention as fa
+    from stable_diffusion_tpu.ops import linear as fl
 
     qn, kn, vn, on = names
+    _bf16_ln = ("kernel" in params[qn] if cross
+                else all("kernel" in params[n] for n in (qn, kn, vn)))
+    if ln is not None and not _bf16_ln:
+        # int8 (W8A8) projections: no fused-LN variant; normalize up front
+        x = layers.layer_norm(ln, x, eps=ln_eps)
+        if not cross:
+            kv_in = x
+        ln = None
     b, sq, e = x.shape
     dp = fa._padded_dim(d)
     wp = fa.premerged_width(num_heads, d)
@@ -175,7 +208,14 @@ def _premerged_attention(params, x, kv_in, num_heads, d, names, *, cross):
         return y + pad_bias(p) if "bias" in p else y
 
     if cross:
-        q3 = proj(params[qn], x)
+        if ln is not None:
+            q3 = fl.ln_matmul(
+                ln, x, pad_cols(params[qn]),
+                pad_bias(params[qn]) if "bias" in params[qn] else None,
+                eps=ln_eps,
+            )
+        else:
+            q3 = proj(params[qn], x)
         k3 = proj(params[kn], kv_in)
         v3 = proj(params[vn], kv_in)
         o = fa.flash_cross_premerged(
@@ -187,11 +227,14 @@ def _premerged_attention(params, x, kv_in, num_heads, d, names, *, cross):
             wqkv = jnp.concatenate(
                 [pad_cols(params[n]) for n in (qn, kn, vn)], axis=1
             )
-            qkv = jnp.dot(x, wqkv, preferred_element_type=dt)
-            if "bias" in params[qn]:
-                qkv = qkv + jnp.concatenate(
-                    [pad_bias(params[n]) for n in (qn, kn, vn)]
-                )
+            bqkv = (jnp.concatenate([pad_bias(params[n]) for n in (qn, kn, vn)])
+                    if "bias" in params[qn] else None)
+            if ln is not None:
+                qkv = fl.ln_matmul(ln, x, wqkv, bqkv, eps=ln_eps)
+            else:
+                qkv = jnp.dot(x, wqkv, preferred_element_type=dt)
+                if bqkv is not None:
+                    qkv = qkv + bqkv
         else:
             # fused W8A8 QKV in the padded layout (shared act_scale)
             s_x = params[qn]["act_scale"].astype(jnp.float32) / 127.0
@@ -226,21 +269,27 @@ def _premerged_attention(params, x, kv_in, num_heads, d, names, *, cross):
 
     po = params[on]
     if "kernel" in po:
-        y = jnp.dot(o, pad_rows(po["kernel"].astype(dt)), preferred_element_type=dt)
-    else:
-        s_x = po["act_scale"].astype(jnp.float32) / 127.0
-        oq = jnp.round(
-            jnp.clip(o.astype(jnp.float32) / s_x, -127.0, 127.0)
-        ).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            oq, pad_rows(po["kernel_q"]),
-            (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32,
-        )
-        y = (acc.astype(jnp.float32)
-             * (s_x * po["kernel_scale"].reshape(1, e))).astype(dt)
+        w_o = pad_rows(po["kernel"].astype(dt))
+        b_o = po["bias"] if "bias" in po else None
+        if residual is not None:
+            return fl.matmul_residual(o, w_o, b_o, residual)
+        y = jnp.dot(o, w_o, preferred_element_type=dt)
+        if b_o is not None:
+            y = y + b_o.astype(dt)
+        return y
+    s_x = po["act_scale"].astype(jnp.float32) / 127.0
+    oq = jnp.round(
+        jnp.clip(o.astype(jnp.float32) / s_x, -127.0, 127.0)
+    ).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        oq, pad_rows(po["kernel_q"]),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+    )
+    y = (acc.astype(jnp.float32)
+         * (s_x * po["kernel_scale"].reshape(1, e))).astype(dt)
     if "bias" in po:
         y = y + po["bias"].astype(dt)
-    return y
+    return y if residual is None else y + residual
 
 
 def init_multihead_attention(

@@ -136,22 +136,35 @@ def resblock_apply(params, x: jax.Array, t_embed: jax.Array, *, eps: float,
     h = gn_silu_conv3x3(params["groupnorm_2"], params["conv_2"], h, eps=eps, impl=impl)
 
     if "proj_input" in params:
-        x = layers.conv2d(params["proj_input"], x)
+        pi = params["proj_input"]
+        if "kernel" in pi:
+            # 1x1 shortcut == matmul; the +h residual fuses into it
+            from stable_diffusion_tpu.ops import linear as fl
+
+            b_, hh, ww, ci = x.shape
+            co = h.shape[-1]
+            y = fl.matmul_residual(
+                x.reshape(b_, hh * ww, ci), pi["kernel"][0, 0],
+                pi.get("bias"), h.reshape(b_, hh * ww, co), impl=impl,
+            )
+            return y.reshape(h.shape)
+        x = layers.conv2d(pi, x)
     return h + x
 
 
 def attention_block_apply(params, x, cond, *, num_heads: int, impl: str) -> jax.Array:
     """Pre-LN self-attn -> pre-LN cross-attn -> pre-LN GeGLU FFN, all residual
     (reference unet.py:93-150).  x: (B, S, C); cond: (B, 77, cross_dim)."""
-    res = x
-    h = layers.layer_norm(params["layernorm_1"], x)
-    h = multihead_attention(params["attn1"], h, num_heads=num_heads, impl=impl)
-    x = h + res
-
-    res = x
-    h = layers.layer_norm(params["layernorm_2"], x)
-    h = multihead_attention(params["attn2"], h, num_heads=num_heads, cond=cond, impl=impl)
-    x = h + res
+    # pre-LN and residual adds are folded into the projection matmuls on TPU
+    # (ops/linear.py via multihead_attention's ln_params/residual args)
+    x = multihead_attention(
+        params["attn1"], x, num_heads=num_heads, impl=impl,
+        ln_params=params["layernorm_1"], residual=x,
+    )
+    x = multihead_attention(
+        params["attn2"], x, num_heads=num_heads, cond=cond, impl=impl,
+        ln_params=params["layernorm_2"], residual=x,
+    )
 
     from stable_diffusion_tpu.ops.ffn import geglu_ffn
 
@@ -168,12 +181,34 @@ def transformer_encoder_apply(params, x, cond, *, num_heads: int, impl: str) -> 
 
     b, h_, w_, c = x.shape
     res = x
-    x = group_norm_silu(params["groupnorm"], x, eps=1e-6, silu=False, impl=impl)
-    x = layers.conv2d(params["conv_input"], x)
+    pi = params["conv_input"]
+    if "kernel" in pi:
+        # GN normalize fused into the 1x1 conv_input matmul (ops/linear.py);
+        # stats stay on the Pallas streaming kernel
+        from stable_diffusion_tpu.ops import linear as fl
+
+        x = fl.gn_matmul(
+            params["groupnorm"], x, pi["kernel"][0, 0],
+            pi.get("bias"), eps=1e-6, impl=impl,
+        )
+    else:
+        x = group_norm_silu(params["groupnorm"], x, eps=1e-6, silu=False, impl=impl)
+        x = layers.conv2d(pi, x)
     x = x.reshape(b, h_ * w_, c)
     x = attention_block_apply(params["transformer_block"], x, cond, num_heads=num_heads, impl=impl)
+    # 1x1 conv_output == matmul; the +residual fuses into it (ops/linear.py)
+    po = params["conv_output"]
+    if "kernel" in po:
+        from stable_diffusion_tpu.ops import linear as fl
+
+        x = fl.matmul_residual(
+            x, po["kernel"][0, 0].astype(x.dtype),
+            po["bias"] if "bias" in po else None,
+            res.reshape(b, h_ * w_, c), impl=impl,
+        )
+        return x.reshape(b, h_, w_, c)
     x = x.reshape(b, h_, w_, c)
-    x = layers.conv2d(params["conv_output"], x)
+    x = layers.conv2d(po, x)
     return x + res
 
 

@@ -25,6 +25,7 @@ Stride-2 / asymmetric-pad convs (down/upsample) keep the XLA path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -479,14 +480,30 @@ def _xla_conv(x, kernel, bias):
     return y
 
 
+def _dx_via_forward() -> bool:
+    """A/B gate for the split backward: SD_TPU_CONV_BWD=xla reverts dx to the
+    XLA transposed-conv vjp (benchmarks/profile_train.py comparisons)."""
+    return os.environ.get("SD_TPU_CONV_BWD", "auto") != "xla"
+
+
 def _conv_fwd(x, kernel, bias):
     return _conv3x3(x, kernel, bias), (x, kernel, bias)
 
 
 def _conv_bwd(res, g):
+    """dx routes through the forward conv dispatcher with the spatially
+    flipped, I/O-swapped kernel (a SAME 3x3 stride-1 conv's input gradient IS
+    such a conv) — Pallas/im2col where the envelope covers it, instead of
+    XLA's transposed-conv emitter.  dw/db keep the XLA vjp (dot-shaped
+    contractions; the unused XLA dx is dead-code-eliminated)."""
     x, kernel, bias = res
     _, vjp = jax.vjp(_xla_conv, x, kernel, bias)
-    return vjp(g)
+    if not _dx_via_forward():
+        return vjp(g)
+    _, dw, db = vjp(g)
+    kb = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2)).astype(g.dtype)
+    dx = conv3x3({"kernel": kb}, g)
+    return dx, dw, db
 
 
 _conv3x3.defvjp(_conv_fwd, _conv_bwd)
@@ -520,12 +537,31 @@ def _gn_conv_fwd(gamma, beta, x, kernel, bias, num_groups, eps):
 
 
 def _gn_conv_bwd(num_groups, eps, res, g):
+    """Split backward: the conv's input gradient routes through the Pallas
+    forward dispatcher (flipped/swapped kernel, see _conv_bwd); the GN-SiLU
+    elementwise/stats chain and dw/db stay on the XLA vjp."""
+    from stable_diffusion_tpu.models import layers
+
     gamma, beta, x, kernel, bias = res
-    _, vjp = jax.vjp(
-        lambda a, b, c, d, e: _gn_silu_conv_xla(a, b, c, d, e, num_groups, eps),
-        gamma, beta, x, kernel, bias,
-    )
-    return vjp(g)
+    if not _dx_via_forward():
+        _, vjp = jax.vjp(
+            lambda a, b, c, d, e: _gn_silu_conv_xla(a, b, c, d, e, num_groups, eps),
+            gamma, beta, x, kernel, bias,
+        )
+        return vjp(g)
+
+    def norm_silu(a, b, xx):
+        y = layers.group_norm({"scale": a, "bias": b}, xx,
+                              num_groups=num_groups, eps=eps)
+        return layers.silu(y)
+
+    xn, vjp_ns = jax.vjp(norm_silu, gamma, beta, x)
+    _, vjp_conv = jax.vjp(_xla_conv, xn, kernel, bias)
+    _, dw, db = vjp_conv(g)  # the unused XLA dxn is dead-code-eliminated
+    kb = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2)).astype(g.dtype)
+    dxn = conv3x3({"kernel": kb}, g)
+    dgamma, dbeta, dx = vjp_ns(dxn.astype(xn.dtype))
+    return dgamma, dbeta, dx, dw, db
 
 
 _gn_silu_conv.defvjp(_gn_conv_fwd, _gn_conv_bwd)
@@ -557,12 +593,30 @@ def _gn_im2col_fwd(gamma, beta, x, kernel, bias, num_groups, eps):
 
 
 def _gn_im2col_bwd(num_groups, eps, res, g):
+    """Same split as _gn_conv_bwd: Pallas/im2col-dispatched dx, XLA dw/db and
+    GN-SiLU chain (the tiny-spatial dx conv lowers to an im2col dot too)."""
+    from stable_diffusion_tpu.models import layers
+
     gamma, beta, x, kernel, bias = res
-    _, vjp = jax.vjp(
-        lambda a, b, c, d, e: _gn_silu_conv_xla(a, b, c, d, e, num_groups, eps),
-        gamma, beta, x, kernel, bias,
-    )
-    return vjp(g)
+    if not _dx_via_forward():
+        _, vjp = jax.vjp(
+            lambda a, b, c, d, e: _gn_silu_conv_xla(a, b, c, d, e, num_groups, eps),
+            gamma, beta, x, kernel, bias,
+        )
+        return vjp(g)
+
+    def norm_silu(a, b, xx):
+        y = layers.group_norm({"scale": a, "bias": b}, xx,
+                              num_groups=num_groups, eps=eps)
+        return layers.silu(y)
+
+    xn, vjp_ns = jax.vjp(norm_silu, gamma, beta, x)
+    _, vjp_conv = jax.vjp(_xla_conv, xn, kernel, bias)
+    _, dw, db = vjp_conv(g)
+    kb = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2)).astype(g.dtype)
+    dxn = conv3x3({"kernel": kb}, g)
+    dgamma, dbeta, dx = vjp_ns(dxn.astype(xn.dtype))
+    return dgamma, dbeta, dx, dw, db
 
 
 _gn_silu_im2col.defvjp(_gn_im2col_fwd, _gn_im2col_bwd)

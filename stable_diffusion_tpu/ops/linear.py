@@ -1,0 +1,399 @@
+"""Fused (LayerNorm ->) matmul (-> +bias -> +residual) Pallas kernel.
+
+The transformer blocks surround every attention projection with elementwise
+XLA work: pre-LN before the QKV projection (reference models/unet/unet.py:
+127-150), a residual add after the output projection, and the same pattern
+around the spatial transformer's 1x1 conv_output.  As separate XLA ops each
+LN costs an extra read+write of the (M, C) activation for its stats +
+normalize passes, the residual another read+write, and the matmuls get
+scheduled between Pallas custom-calls where XLA's dot fusions have been
+measured well below their standalone rates (BASELINE.md round-2/3 notes).
+
+This kernel runs the whole chain through VMEM once:
+
+    x_m' = LN(x_m)                  # optional, f32 stats in-kernel
+    out_mn = x_m' @ W[:, n] + b[n] (+ res_mn)   # f32 MXU accumulation
+
+Layout: m-outer grid (m blocks stream, K fully resident per block); the
+weight's n blocks stream inside.  The x block's index map is constant across
+n, so Mosaic skips its re-DMA; the LN prologue recomputes per n block (VPU,
+negligible next to the dot).
+
+Backward is a recompute-based custom VJP through the XLA formulation (like
+ops/ffn.py), so the kernel is usable inside the training step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ln_f32(x, gamma, beta, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * gamma + beta).astype(x.dtype)
+
+
+def _make_kernel(has_ln: bool, has_res: bool, has_bias: bool, eps: float):
+    def kernel(*refs):
+        i = 0
+        x_ref = refs[i]; i += 1
+        if has_ln:
+            g_ref, be_ref = refs[i], refs[i + 1]; i += 2
+        w_ref = refs[i]; i += 1
+        if has_bias:
+            b_ref = refs[i]; i += 1
+        res_ref = None
+        if has_res:
+            res_ref = refs[i]; i += 1
+        o_ref = refs[i]
+
+        x = x_ref[...]
+        if has_ln:
+            x = _ln_f32(x, g_ref[...].astype(jnp.float32),
+                        be_ref[...].astype(jnp.float32), eps)
+        acc = jnp.dot(x, w_ref[...], preferred_element_type=jnp.float32)
+        if has_bias:
+            acc = acc + b_ref[...]
+        if has_res:
+            acc = acc + res_ref[...].astype(jnp.float32)
+        o_ref[...] = acc.astype(o_ref.dtype)
+
+    return kernel
+
+
+def _plan(m: int, k: int, n: int, itemsize: int):
+    """(bm, bn) under the VMEM budget, or (0, 0) if infeasible."""
+    budget = 13 * 1024 * 1024
+    for bn in (n, 2048, 1024, 512, 256, 128):
+        if bn > n or n % bn:
+            continue
+        for bm in (512, 256, 128):
+            if bm > m or m % bm:
+                continue
+            x_b = 2 * bm * k * itemsize
+            w_b = 2 * k * bn * itemsize
+            o_b = 2 * bm * bn * itemsize
+            r_b = 2 * bm * bn * itemsize
+            tmp = bm * max(k, bn) * 4
+            if x_b + w_b + o_b + r_b + tmp <= budget:
+                return bm, bn
+    return 0, 0
+
+
+def supported(m: int, k: int, n: int, itemsize: int = 2) -> bool:
+    if m % 128 or n % 128 or k % 8:
+        return False
+    return _plan(m, k, n, itemsize) != (0, 0)
+
+
+def _mm_call(x2, ln, w, b, res2, *, eps):
+    m, k = x2.shape
+    n = w.shape[1]
+    bm, bn = _plan(m, k, n, x2.dtype.itemsize)
+    has_ln = ln is not None
+    has_res = res2 is not None
+    has_bias = b is not None
+
+    grid = (m // bm, n // bn)
+    midx = lambda i, j: (i, 0)
+    nidx = lambda i, j: (0, j)
+    oidx = lambda i, j: (i, j)
+
+    inputs = [x2]
+    specs = [pl.BlockSpec((bm, k), midx)]
+    if has_ln:
+        inputs += [ln[0].reshape(1, k), ln[1].reshape(1, k)]
+        specs += [pl.BlockSpec((1, k), lambda i, j: (0, 0))] * 2
+    inputs.append(w)
+    specs.append(pl.BlockSpec((k, bn), nidx))
+    if has_bias:
+        inputs.append(b.reshape(1, n))
+        specs.append(pl.BlockSpec((1, bn), nidx))
+    if has_res:
+        inputs.append(res2)
+        specs.append(pl.BlockSpec((bm, bn), oidx))
+
+    kernel = _make_kernel(has_ln, has_res, has_bias, eps)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=specs,
+        out_specs=pl.BlockSpec((bm, bn), oidx),
+        out_shape=jax.ShapeDtypeStruct((m, n), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=(m * k + k * n + 2 * m * n) * x2.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(*inputs)
+
+
+def _mm_xla(x, gamma, beta, w, b, res, eps):
+    from stable_diffusion_tpu.models import layers
+
+    h = x
+    if gamma is not None:
+        h = layers.layer_norm({"scale": gamma, "bias": beta}, x, eps=eps)
+    y = jnp.dot(h, w.astype(h.dtype), preferred_element_type=h.dtype)
+    if b is not None:
+        y = y + b.astype(h.dtype)
+    if res is not None:
+        y = y + res
+    return y
+
+
+def _mm_impl(x, gamma, beta, w, b, res, eps):
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = w.shape[1]
+    x2 = x.reshape(-1, k)
+    ln = None
+    if gamma is not None:
+        ln = (gamma.astype(jnp.float32), beta.astype(jnp.float32))
+    bf = None if b is None else b.astype(jnp.float32)
+    res2 = None if res is None else res.reshape(-1, n)
+    out = _mm_call(x2, ln, w.astype(x.dtype), bf, res2, eps=eps)
+    return out.reshape(*lead, n)
+
+
+# Arity-stable custom-vjp wrappers (custom_vjp can't take optional array
+# args) — callers synthesize a zero bias when absent; geometry is checked by
+# the caller via ``supported``.
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _ln_mm(x, gamma, beta, w, b, eps):
+    return _mm_impl(x, gamma, beta, w, b, None, eps)
+
+
+def _ln_mm_fwd(x, gamma, beta, w, b, eps):
+    return _ln_mm(x, gamma, beta, w, b, eps), (x, gamma, beta, w, b)
+
+
+def _ln_mm_bwd(eps, saved, g):
+    x, gamma, beta, w, b = saved
+    _, vjp = jax.vjp(
+        lambda *a: _mm_xla(*a, None, eps), x, gamma, beta, w, b
+    )
+    return vjp(g)
+
+
+_ln_mm.defvjp(_ln_mm_fwd, _ln_mm_bwd)
+
+
+@jax.custom_vjp
+def _mm_res(x, w, b, res):
+    return _mm_impl(x, None, None, w, b, res, 1e-5)
+
+
+def _mm_res_fwd(x, w, b, res):
+    return _mm_res(x, w, b, res), (x, w, b, res)
+
+
+def _mm_res_bwd(saved, g):
+    x, w, b, res = saved
+    _, vjp = jax.vjp(
+        lambda x_, w_, b_, r_: _mm_xla(x_, None, None, w_, b_, r_, 1e-5),
+        x, w, b, res,
+    )
+    return vjp(g)
+
+
+_mm_res.defvjp(_mm_res_fwd, _mm_res_bwd)
+
+
+# ---------------------------------------------------------------------------
+# GroupNorm-prologue matmul: the spatial transformer's GN -> 1x1 conv_input
+# (reference unet.py:73-80).  GN stats come from the streaming Pallas stats
+# kernel (ops/groupnorm.gn_scale_shift, (B, 2, C) folded affine); the
+# normalize pass fuses into the matmul prologue so the normalized activation
+# never round-trips HBM.
+# ---------------------------------------------------------------------------
+
+
+def _make_gn_kernel(has_res: bool):
+    def kernel(*refs):
+        if has_res:
+            x_ref, ss_ref, w_ref, b_ref, res_ref, o_ref = refs
+        else:
+            x_ref, ss_ref, w_ref, b_ref, o_ref = refs
+        x = x_ref[...].astype(jnp.float32)
+        xn = (x * ss_ref[0, 0][None, :] + ss_ref[0, 1][None, :]).astype(o_ref.dtype)
+        acc = jnp.dot(xn, w_ref[...], preferred_element_type=jnp.float32)
+        acc = acc + b_ref[...]
+        if has_res:
+            acc = acc + res_ref[...].astype(jnp.float32)
+        o_ref[...] = acc.astype(o_ref.dtype)
+
+    return kernel
+
+
+def _gn_plan(m: int, s: int, k: int, n: int, itemsize: int):
+    """Like _plan but bm must divide the per-image row count s so each m
+    block reads exactly one batch element's (2, C) stats."""
+    budget = 13 * 1024 * 1024
+    for bn in (n, 2048, 1024, 512, 256, 128):
+        if bn > n or n % bn:
+            continue
+        for bm in (512, 256, 128):
+            if bm > m or m % bm or s % bm:
+                continue
+            x_b = 2 * bm * k * itemsize
+            w_b = 2 * k * bn * itemsize
+            o_b = 2 * bm * bn * itemsize
+            tmp = bm * max(k, bn) * 4 + bm * k * 4
+            if x_b + w_b + 2 * o_b + tmp <= budget:
+                return bm, bn
+    return 0, 0
+
+
+def gn_supported(m: int, s: int, k: int, n: int, itemsize: int = 2) -> bool:
+    if m % 128 or n % 128 or k % 8:
+        return False
+    return _gn_plan(m, s, k, n, itemsize) != (0, 0)
+
+
+def _gn_mm_call(x2, ss, w, b, res2, *, s):
+    m, k = x2.shape
+    n = w.shape[1]
+    bm, bn = _gn_plan(m, s, k, n, x2.dtype.itemsize)
+    has_res = res2 is not None
+    rows_per_img = s // bm
+
+    grid = (m // bm, n // bn)
+    inputs = [x2, ss]
+    specs = [
+        pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
+        pl.BlockSpec((1, 2, k), lambda i, j: (i // rows_per_img, 0, 0)),
+    ]
+    inputs.append(w)
+    specs.append(pl.BlockSpec((k, bn), lambda i, j: (0, j)))
+    inputs.append(b.reshape(1, n))
+    specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j)))
+    if has_res:
+        inputs.append(res2)
+        specs.append(pl.BlockSpec((bm, bn), lambda i, j: (i, j)))
+
+    return pl.pallas_call(
+        _make_gn_kernel(has_res),
+        grid=grid,
+        in_specs=specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=(m * k + k * n + 2 * m * n) * x2.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(*inputs)
+
+
+def _gn_mm_xla(gamma, beta, x, w, b, num_groups, eps):
+    from stable_diffusion_tpu.models import layers
+
+    xn = layers.group_norm({"scale": gamma, "bias": beta}, x,
+                           num_groups=num_groups, eps=eps)
+    return jnp.dot(xn, w.astype(xn.dtype), preferred_element_type=xn.dtype) \
+        + b.astype(xn.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _gn_mm(gamma, beta, x, w, b, num_groups, eps):
+    """x: (B, H, W, K) NHWC -> (B, H, W, N); GN over K fused into the dot."""
+    from stable_diffusion_tpu.ops.groupnorm import gn_scale_shift
+
+    bsz = x.shape[0]
+    k = x.shape[-1]
+    s = 1
+    for d in x.shape[1:-1]:
+        s *= d
+    ss = gn_scale_shift({"scale": gamma, "bias": beta}, x,
+                        num_groups=num_groups, eps=eps)
+    out = _gn_mm_call(x.reshape(bsz * s, k), ss, w.astype(x.dtype),
+                      b.astype(jnp.float32), None, s=s)
+    return out.reshape(*x.shape[:-1], w.shape[1])
+
+
+def _gn_mm_fwd(gamma, beta, x, w, b, num_groups, eps):
+    return _gn_mm(gamma, beta, x, w, b, num_groups, eps), (gamma, beta, x, w, b)
+
+
+def _gn_mm_bwd(num_groups, eps, saved, g):
+    gamma, beta, x, w, b = saved
+    _, vjp = jax.vjp(
+        lambda *a: _gn_mm_xla(*a, num_groups, eps), gamma, beta, x, w, b
+    )
+    return vjp(g)
+
+
+_gn_mm.defvjp(_gn_mm_fwd, _gn_mm_bwd)
+
+
+def _want_kernel(impl: str) -> bool:
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    return impl in ("pallas", "flash") or (impl == "auto" and on_tpu)
+
+
+def gn_matmul(gn_params, x, w, b=None, *, num_groups: int = 32,
+              eps: float = 1e-5, impl: str = "auto"):
+    """GroupNorm(x) @ w + b over NHWC x (the 1x1-conv-as-matmul case), with
+    the normalize pass fused into the dot on TPU."""
+    bsz = x.shape[0]
+    k = x.shape[-1]
+    s = 1
+    for d in x.shape[1:-1]:
+        s *= d
+    if (_want_kernel(impl) and k % num_groups == 0
+            and gn_supported(bsz * s, s, k, w.shape[1], x.dtype.itemsize)):
+        if b is None:
+            b = jnp.zeros((w.shape[1],), jnp.float32)
+        return _gn_mm(gn_params["scale"], gn_params["bias"], x, w, b,
+                      num_groups, eps)
+    y = _gn_mm_xla(gn_params["scale"], gn_params["bias"], x,
+                   w, b if b is not None else jnp.zeros((w.shape[1],), x.dtype),
+                   num_groups, eps)
+    return y
+
+
+def ln_matmul(ln_params, x, w, b=None, *, eps: float = 1e-5,
+              impl: str = "auto"):
+    """LayerNorm(x) @ w + b, fused on TPU for covered shapes.
+
+    x: (..., K); w: (K, N) (cast to x.dtype inside); b: (N,) or None.
+    """
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    if _want_kernel(impl) and supported(
+            m, x.shape[-1], w.shape[1], x.dtype.itemsize):
+        if b is None:
+            b = jnp.zeros((w.shape[1],), jnp.float32)
+        return _ln_mm(x, ln_params["scale"], ln_params["bias"], w, b, eps)
+    return _mm_xla(x, ln_params["scale"], ln_params["bias"], w, b, None, eps)
+
+
+def matmul_residual(x, w, b, res, *, impl: str = "auto"):
+    """x @ w + b + res, fused on TPU for covered shapes.  b: (N,) or None."""
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    if _want_kernel(impl) and supported(
+            m, x.shape[-1], w.shape[1], x.dtype.itemsize):
+        if b is None:
+            b = jnp.zeros((w.shape[1],), jnp.float32)
+        return _mm_res(x, w, b, res)
+    return _mm_xla(x, None, None, w, b, res, 1e-5)

@@ -135,3 +135,31 @@ def test_gn_silu_conv3x3_grads(rng):
     g = jax.grad(loss, argnums=(0, 1, 2))(gp, cp, x)
     for leaf in jax.tree.leaves(g):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_conv_bwd_flipped_kernel_dx(rng):
+    """The split backward (dx via the forward dispatcher with the flipped,
+    I/O-swapped kernel; dw/db via the XLA vjp) matches the plain XLA vjp of
+    the GN-SiLU-conv composite to f32 precision (interpret mode)."""
+    from jax.experimental.pallas import tpu as pltpu
+    from stable_diffusion_tpu.ops import conv as C
+
+    x = jnp.asarray(rng.standard_normal((1, 32, 32, 320)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 320, 320)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((320,)), jnp.float32)
+    gm = jnp.asarray(rng.standard_normal((320,)), jnp.float32)
+    bt = jnp.asarray(rng.standard_normal((320,)), jnp.float32)
+
+    def f_custom(gm, bt, x, k, b):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(C._gn_silu_conv(gm, bt, x, k, b, 32, 1e-5) ** 2)
+
+    def f_xla(gm, bt, x, k, b):
+        return jnp.sum(C._gn_silu_conv_xla(gm, bt, x, k, b, 32, 1e-5) ** 2)
+
+    g1 = jax.grad(f_custom, argnums=(0, 1, 2, 3, 4))(gm, bt, x, k, b)
+    g2 = jax.grad(f_xla, argnums=(0, 1, 2, 3, 4))(gm, bt, x, k, b)
+    for n, a, bb in zip(("dgamma", "dbeta", "dx", "dw", "db"), g1, g2):
+        r = (np.abs(np.asarray(a) - np.asarray(bb)).max()
+             / (np.abs(np.asarray(bb)).max() + 1e-9))
+        assert r < 2e-5, (n, r)

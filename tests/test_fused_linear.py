@@ -1,0 +1,135 @@
+"""ops/linear.py — fused (LN->)matmul(->+residual) kernel parity.
+
+Kernel semantics are checked in Pallas interpret mode against the plain XLA
+formulation (models/layers.layer_norm + dot + adds); gradients go through
+the recompute VJP and must match jax.grad of the XLA composite.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_diffusion_tpu.models import layers
+from stable_diffusion_tpu.ops import linear as fl
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def _mk(rng, m, k, n, dtype=jnp.float32):
+    x = jnp.asarray(rng.standard_normal((2, m // 2, k)), dtype)
+    w = jnp.asarray(rng.standard_normal((k, n)) * 0.05, dtype)
+    b = jnp.asarray(rng.standard_normal((n,)), dtype)
+    res = jnp.asarray(rng.standard_normal((2, m // 2, n)), dtype)
+    gamma = jnp.asarray(rng.standard_normal((k,)), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal((k,)), jnp.float32)
+    return x, w, b, res, gamma, beta
+
+
+@pytest.mark.parametrize("m,k,n", [(256, 320, 1536), (128, 640, 640)])
+def test_ln_matmul_interpret(rng, m, k, n):
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, w, b, res, gamma, beta = _mk(rng, m, k, n)
+    ln = {"scale": gamma, "bias": beta}
+    with pltpu.force_tpu_interpret_mode():
+        got = fl.ln_matmul(ln, x, w, b, impl="pallas")
+    want = jnp.dot(layers.layer_norm(ln, x), w) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("m,k,n", [(256, 512, 320), (128, 1280, 1280)])
+def test_matmul_residual_interpret(rng, m, k, n):
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, w, b, res, _, _ = _mk(rng, m, k, n)
+    with pltpu.force_tpu_interpret_mode():
+        got = fl.matmul_residual(x, w, b, res, impl="pallas")
+    want = jnp.dot(x, w) + b + res
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ln_matmul_no_bias_interpret(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, w, _, _, gamma, beta = _mk(rng, 128, 320, 384)
+    ln = {"scale": gamma, "bias": beta}
+    with pltpu.force_tpu_interpret_mode():
+        got = fl.ln_matmul(ln, x, w, None, impl="pallas")
+    want = jnp.dot(layers.layer_norm(ln, x), w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_grads_match_xla(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    x, w, b, res, gamma, beta = _mk(rng, 128, 320, 320)
+    ln = {"scale": gamma, "bias": beta}
+
+    def f_fused(x, gamma, beta, w, b, res):
+        with pltpu.force_tpu_interpret_mode():
+            h = fl.ln_matmul({"scale": gamma, "bias": beta}, x, w, b,
+                             impl="pallas")
+            return jnp.sum(fl.matmul_residual(h, w.T, b[:320], res,
+                                              impl="pallas") ** 2)
+
+    def f_xla(x, gamma, beta, w, b, res):
+        h = jnp.dot(layers.layer_norm({"scale": gamma, "bias": beta}, x), w) + b
+        return jnp.sum((jnp.dot(h, w.T) + b[:320] + res) ** 2)
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2, 3, 4, 5))(x, gamma, beta, w, b, res)
+    g2 = jax.grad(f_xla, argnums=(0, 1, 2, 3, 4, 5))(x, gamma, beta, w, b, res)
+    for name, a, bb in zip("x gamma beta w b res".split(), g1, g2):
+        r = (np.abs(np.asarray(a) - np.asarray(bb)).max()
+             / (np.abs(np.asarray(bb)).max() + 1e-9))
+        assert r < 2e-5, (name, r)
+
+
+def test_gn_matmul_interpret(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c, n = 2, 16, 16, 320, 320
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((c, n)) * 0.05, jnp.float32)
+    bb = jnp.asarray(rng.standard_normal((n,)), jnp.float32)
+    gn = {"scale": jnp.asarray(rng.standard_normal((c,)), jnp.float32),
+          "bias": jnp.asarray(rng.standard_normal((c,)), jnp.float32)}
+    with pltpu.force_tpu_interpret_mode():
+        got = fl.gn_matmul(gn, x, wk, bb, eps=1e-6, impl="pallas")
+    want = jnp.dot(layers.group_norm(gn, x, eps=1e-6), wk) + bb
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+    def f_fused(gamma, beta, x, wk, bb):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(fl.gn_matmul({"scale": gamma, "bias": beta}, x, wk,
+                                        bb, eps=1e-6, impl="pallas") ** 2)
+
+    def f_xla(gamma, beta, x, wk, bb):
+        return jnp.sum((jnp.dot(layers.group_norm(
+            {"scale": gamma, "bias": beta}, x, eps=1e-6), wk) + bb) ** 2)
+
+    g1 = jax.grad(f_fused, argnums=(0, 1, 2, 3, 4))(gn["scale"], gn["bias"], x, wk, bb)
+    g2 = jax.grad(f_xla, argnums=(0, 1, 2, 3, 4))(gn["scale"], gn["bias"], x, wk, bb)
+    for name, a, b2 in zip("gamma beta x w b".split(), g1, g2):
+        r = (np.abs(np.asarray(a) - np.asarray(b2)).max()
+             / (np.abs(np.asarray(b2)).max() + 1e-9))
+        assert r < 3e-5, (name, r)
+
+
+def test_unsupported_falls_back(rng):
+    # m not a multiple of 128 -> XLA fallback, still correct
+    x = jnp.asarray(rng.standard_normal((1, 100, 320)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((320, 320)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((320,)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((1, 100, 320)), jnp.float32)
+    got = fl.matmul_residual(x, w, b, res, impl="pallas")
+    want = jnp.dot(x, w) + b + res
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
