@@ -199,8 +199,9 @@ def bench_train_step(repeats):
     from stable_diffusion_tpu.models import vae as vae_m
 
     pipe = build_pipeline("1.5")
+    remat = os.environ.get("BENCH_TRAIN_REMAT", "1") != "0"
     cfg = T.TrainConfig(rank=128, alpha=128.0, use_ema=True,
-                        gradient_checkpointing=True, grad_accum_steps=2,
+                        gradient_checkpointing=remat, grad_accum_steps=2,
                         lora_targets=("q_proj", "k_proj", "v_proj", "out_proj"))
     schedule = S.make_schedule()
     state = T.init_train_state(jax.random.key(0), pipe.params, cfg)

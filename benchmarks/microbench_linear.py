@@ -129,6 +129,37 @@ def bench_gn_mm(b, hw, c):
     )
 
 
+def bench_w8a8_qkv(b, s, c, wp):
+    key = jax.random.fold_in(jax.random.key(3), s * c)
+    k1, k2 = jax.random.split(key)
+    x = jax.random.normal(k1, (b, s, c), jnp.bfloat16)
+    wq = jax.random.randint(k2, (c, 3 * wp), -127, 128, jnp.int8)
+    ws = jnp.full((1, 3 * wp), 0.01, jnp.float32)
+    act = jnp.asarray(4.0, jnp.float32)
+    bb = jnp.zeros((3 * wp,), jnp.float32)
+    ln = {"scale": jnp.ones((c,), jnp.float32), "bias": jnp.zeros((c,), jnp.float32)}
+
+    def make(iters, impl):
+        @jax.jit
+        def run(x, wq):
+            def body(x, _):
+                y = fl.ln_matmul_w8a8(ln, x, wq, ws, act, bb, impl=impl)
+                return x + y[..., :c] * jnp.bfloat16(1e-3), None
+            x, _ = jax.lax.scan(body, x, None, length=iters)
+            return x
+        return run
+
+    flops = 2 * b * s * c * 3 * wp
+    t_pal = diff_time(lambda n: make(n, "pallas"), x, wq)
+    t_xla = diff_time(lambda n: make(n, "xla"), x, wq)
+    print(
+        f"w8a8_qkv b{b} s{s} c{c} wp{wp}: pallas {t_pal*1e3:7.3f} ms "
+        f"({flops/t_pal/1e12:5.1f} TF/s)  xla {t_xla*1e3:7.3f} ms "
+        f"({flops/t_xla/1e12:5.1f} TF/s)  "
+        f"{'PALLAS' if t_pal < t_xla else 'xla'} wins"
+    )
+
+
 def main():
     print(f"backend={jax.default_backend()}")
     # (b, s, C, Wp): SD1.5 stages — 8 heads, d = C/8, dp padded, Wp 128-mult
@@ -146,6 +177,9 @@ def main():
         bench_out_res(b, s, c, wp)
     for (b, hw, c) in [(2, 64, 320), (2, 32, 640), (2, 16, 1280)]:
         bench_gn_mm(b, hw, c)
+    for (b, s, c, wp) in [(8, 4096, 320, 512), (8, 1024, 640, 1024),
+                          (2, 4096, 320, 512)]:
+        bench_w8a8_qkv(b, s, c, wp)
 
 
 if __name__ == "__main__":

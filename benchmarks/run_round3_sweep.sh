@@ -1,0 +1,29 @@
+#!/bin/bash
+# Round-3 on-chip measurement sweep (run when the axon tunnel is up).
+# Each step is independently skippable; results append to /tmp/r3_sweep.log.
+set -x
+cd "$(dirname "$0")/.."
+L=/tmp/r3_sweep.log
+date >> $L
+
+# 1. fused-linear microbench (new kernels vs XLA at stage shapes)
+timeout 1800 python benchmarks/microbench_linear.py >> $L 2>&1
+
+# 2. headline configs
+timeout 1800 python bench.py >> $L 2>&1                      # b1 txt2img
+BENCH_BATCH=4 timeout 1800 python bench.py >> $L 2>&1        # b4
+BENCH_BATCH=8 timeout 1800 python bench.py >> $L 2>&1        # b8
+BENCH_INT8=static BENCH_BATCH=4 timeout 1800 python bench.py >> $L 2>&1
+
+# 3. train step: conv-bwd A/B and remat A/B
+BENCH_CONFIG=train_step timeout 2400 python bench.py >> $L 2>&1
+SD_TPU_CONV_BWD=xla BENCH_CONFIG=train_step timeout 2400 python bench.py >> $L 2>&1
+BENCH_TRAIN_REMAT=0 BENCH_CONFIG=train_step timeout 2400 python bench.py >> $L 2>&1
+
+# 4. remaining configs
+BENCH_CONFIG=sd15_img2img timeout 1800 python bench.py >> $L 2>&1
+BENCH_CONFIG=sd21_txt2img_768 timeout 2400 python bench.py >> $L 2>&1
+BENCH_CONFIG=one_step_b32 timeout 1800 python bench.py >> $L 2>&1
+
+date >> $L
+echo SWEEP_DONE >> $L

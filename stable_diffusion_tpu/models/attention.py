@@ -137,20 +137,14 @@ def _premerged_attention(params, x, kv_in, num_heads, d, names, *, cross,
 
     ``ln``/``residual`` fold the caller's pre-LN into the QKV projection and
     the residual add into the output projection (ops/linear.py fused matmuls)
-    for the bf16 paths; the int8 (W8A8) paths normalize explicitly.
+    — bf16 via ln_matmul/matmul_residual, static-W8A8 via the int8 variants
+    (quantize fused into the prologue; calibration recorded act ranges on the
+    post-LN input, so the semantics match the explicit-LN path).
     """
     from stable_diffusion_tpu.ops import flash_attention as fa
     from stable_diffusion_tpu.ops import linear as fl
 
     qn, kn, vn, on = names
-    _bf16_ln = ("kernel" in params[qn] if cross
-                else all("kernel" in params[n] for n in (qn, kn, vn)))
-    if ln is not None and not _bf16_ln:
-        # int8 (W8A8) projections: no fused-LN variant; normalize up front
-        x = layers.layer_norm(ln, x, eps=ln_eps)
-        if not cross:
-            kv_in = x
-        ln = None
     b, sq, e = x.shape
     dp = fa._padded_dim(d)
     wp = fa.premerged_width(num_heads, d)
@@ -208,14 +202,17 @@ def _premerged_attention(params, x, kv_in, num_heads, d, names, *, cross,
         return y + pad_bias(p) if "bias" in p else y
 
     if cross:
-        if ln is not None:
-            q3 = fl.ln_matmul(
-                ln, x, pad_cols(params[qn]),
-                pad_bias(params[qn]) if "bias" in params[qn] else None,
-                eps=ln_eps,
+        pq = params[qn]
+        bq_ = pad_bias(pq) if "bias" in pq else None
+        if ln is not None and "kernel" in pq:
+            q3 = fl.ln_matmul(ln, x, pad_cols(pq), bq_, eps=ln_eps)
+        elif ln is not None:
+            w_q, w_s = pad_cols_q(pq)
+            q3 = fl.ln_matmul_w8a8(
+                ln, x, w_q, w_s, pq["act_scale"], bq_, eps=ln_eps,
             )
         else:
-            q3 = proj(params[qn], x)
+            q3 = proj(pq, x)
         k3 = proj(params[kn], kv_in)
         v3 = proj(params[vn], kv_in)
         o = fa.flash_cross_premerged(
@@ -236,22 +233,19 @@ def _premerged_attention(params, x, kv_in, num_heads, d, names, *, cross,
                 if bqkv is not None:
                     qkv = qkv + bqkv
         else:
-            # fused W8A8 QKV in the padded layout (shared act_scale)
-            s_x = params[qn]["act_scale"].astype(jnp.float32) / 127.0
-            x_q = jnp.round(
-                jnp.clip(x.astype(jnp.float32) / s_x, -127.0, 127.0)
-            ).astype(jnp.int8)
+            # fused W8A8 QKV in the padded layout (shared act_scale; q/k/v
+            # consume the same LN(x), so calibration recorded one range)
             cols = [pad_cols_q(params[n]) for n in (qn, kn, vn)]
             w_q = jnp.concatenate([c[0] for c in cols], axis=1)
             w_s = jnp.concatenate([c[1] for c in cols], axis=1)
-            acc = jax.lax.dot_general(
-                x_q, w_q, (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32
-            )
-            qkv = (acc.astype(jnp.float32) * (s_x * w_s)).astype(dt)
-            if "bias" in params[qn]:
-                qkv = qkv + jnp.concatenate(
-                    [pad_bias(params[n]) for n in (qn, kn, vn)]
+            bqkv = (jnp.concatenate([pad_bias(params[n]) for n in (qn, kn, vn)])
+                    if "bias" in params[qn] else None)
+            if ln is not None:
+                qkv = fl.ln_matmul_w8a8(
+                    ln, x, w_q, w_s, params[qn]["act_scale"], bqkv, eps=ln_eps,
                 )
+            else:
+                qkv = fl.matmul_w8a8(x, w_q, w_s, params[qn]["act_scale"], bqkv)
         q3, k3, v3 = jnp.split(qkv, 3, axis=-1)
         o = fa.flash_self_premerged(
             q3, k3, v3, scale=d ** -0.5, num_heads=num_heads, head_dim=dp
@@ -277,19 +271,10 @@ def _premerged_attention(params, x, kv_in, num_heads, d, names, *, cross,
         if b_o is not None:
             y = y + b_o.astype(dt)
         return y
-    s_x = po["act_scale"].astype(jnp.float32) / 127.0
-    oq = jnp.round(
-        jnp.clip(o.astype(jnp.float32) / s_x, -127.0, 127.0)
-    ).astype(jnp.int8)
-    acc = jax.lax.dot_general(
-        oq, pad_rows(po["kernel_q"]),
-        (((2,), (0,)), ((), ())), preferred_element_type=jnp.int32,
+    return fl.matmul_w8a8(
+        o, pad_rows(po["kernel_q"]), po["kernel_scale"].reshape(1, e),
+        po["act_scale"], po.get("bias"), residual=residual,
     )
-    y = (acc.astype(jnp.float32)
-         * (s_x * po["kernel_scale"].reshape(1, e))).astype(dt)
-    if "bias" in po:
-        y = y + po["bias"].astype(dt)
-    return y if residual is None else y + residual
 
 
 def init_multihead_attention(

@@ -343,6 +343,208 @@ def _gn_mm_bwd(num_groups, eps, saved, g):
 _gn_mm.defvjp(_gn_mm_fwd, _gn_mm_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Static-W8A8 fused matmul: (LN ->) quantize-to-int8 -> int8 x int8 -> int32
+# MXU dot (double rate) -> dequant (+bias) (+residual).  The activation scale
+# folds into the LN affine (gamma/s, beta/s) or a (1,1) VMEM scalar so the
+# quantize happens on VPU registers — the int8 activation never exists in
+# HBM, unlike the XLA path's separate quantize pass.
+# Inference-only: the VJP raises (round/clip gradients would be silently
+# wrong), matching ops/conv._conv3x3_q.
+# ---------------------------------------------------------------------------
+
+
+def _make_q_kernel(has_ln: bool, has_res: bool, eps: float):
+    def kernel(*refs):
+        i = 0
+        x_ref = refs[i]; i += 1
+        if has_ln:
+            g_ref, be_ref = refs[i], refs[i + 1]; i += 2
+        else:
+            sinv_ref = refs[i]; i += 1
+        wq_ref, ws_ref, b_ref = refs[i:i + 3]; i += 3
+        res_ref = None
+        if has_res:
+            res_ref = refs[i]; i += 1
+        o_ref = refs[i]
+
+        if has_ln:
+            # gamma/beta arrive pre-divided by the act scale, so the LN
+            # output IS the quantizer input
+            xs = _ln_f32(x_ref[...].astype(jnp.float32),
+                         g_ref[...], be_ref[...], eps)
+        else:
+            xs = x_ref[...].astype(jnp.float32) * sinv_ref[0, 0]
+        xq = jnp.round(jnp.clip(xs, -127.0, 127.0)).astype(jnp.int8)
+        acc = jnp.dot(xq, wq_ref[...], preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * ws_ref[...] + b_ref[...]
+        if has_res:
+            y = y + res_ref[...].astype(jnp.float32)
+        o_ref[...] = y.astype(o_ref.dtype)
+
+    return kernel
+
+
+def _q_plan(m: int, k: int, n: int, itemsize: int):
+    budget = 13 * 1024 * 1024
+    for bn in (n, 2048, 1024, 512, 256, 128):
+        if bn > n or n % bn:
+            continue
+        for bm in (512, 256, 128):
+            if bm > m or m % bm:
+                continue
+            x_b = 2 * bm * k * itemsize
+            w_b = 2 * k * bn  # int8
+            o_b = 2 * bm * bn * itemsize
+            tmp = bm * k * 4 + bm * k + bm * bn * 4
+            if x_b + w_b + 2 * o_b + tmp <= budget:
+                return bm, bn
+    return 0, 0
+
+
+def q_supported(m: int, k: int, n: int, itemsize: int = 2) -> bool:
+    if m % 128 or n % 128 or k % 32:
+        return False
+    return _q_plan(m, k, n, itemsize) != (0, 0)
+
+
+def _q_mm_call(x2, ln, sinv, wq, ws, b, res2, *, eps):
+    m, k = x2.shape
+    n = wq.shape[1]
+    bm, bn = _q_plan(m, k, n, x2.dtype.itemsize)
+    has_ln = ln is not None
+    has_res = res2 is not None
+
+    grid = (m // bm, n // bn)
+    inputs = [x2]
+    specs = [pl.BlockSpec((bm, k), lambda i, j: (i, 0))]
+    if has_ln:
+        inputs += [ln[0].reshape(1, k), ln[1].reshape(1, k)]
+        specs += [pl.BlockSpec((1, k), lambda i, j: (0, 0))] * 2
+    else:
+        inputs.append(sinv.reshape(1, 1))
+        specs.append(pl.BlockSpec((1, 1), lambda i, j: (0, 0)))
+    inputs += [wq, ws.reshape(1, n), b.reshape(1, n)]
+    specs += [
+        pl.BlockSpec((k, bn), lambda i, j: (0, j)),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j)),
+    ]
+    if has_res:
+        inputs.append(res2)
+        specs.append(pl.BlockSpec((bm, bn), lambda i, j: (i, j)))
+
+    return pl.pallas_call(
+        _make_q_kernel(has_ln, has_res, eps),
+        grid=grid,
+        in_specs=specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((m, n), x2.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=m * k * x2.dtype.itemsize + k * n + 2 * m * n * x2.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(*inputs)
+
+
+def _q_mm_xla(x, gamma, beta, act_scale, wq, ws, b, res, eps):
+    from stable_diffusion_tpu.models import layers
+
+    h = x
+    if gamma is not None:
+        h = layers.layer_norm({"scale": gamma, "bias": beta}, x, eps=eps)
+    s_x = act_scale.astype(jnp.float32) / 127.0
+    hq = jnp.round(
+        jnp.clip(h.astype(jnp.float32) / s_x, -127.0, 127.0)
+    ).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        hq, wq, (((hq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = (acc.astype(jnp.float32) * (s_x * ws.reshape(1, -1))).astype(x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    if res is not None:
+        y = y + res
+    return y
+
+
+def _q_raise_bwd(*a, **k):
+    raise NotImplementedError(
+        "W8A8 fused matmul is inference-only: gradients through the int8 "
+        "round/clip quantizer would be silently wrong — train in bf16 and "
+        "quantize afterwards (utils/quantize_model)"
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def _q_mm(x, gamma, beta, act_scale, wq, ws, b, eps, res):
+    """LN -> quantize -> int8 dot -> dequant (+res).  gamma/beta given."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = wq.shape[1]
+    s_x = act_scale.astype(jnp.float32) / 127.0
+    ln = (gamma.astype(jnp.float32) / s_x, beta.astype(jnp.float32) / s_x)
+    ws_f = s_x * ws.astype(jnp.float32).reshape(1, n)
+    bf = (b if b is not None else jnp.zeros((n,), jnp.float32)).astype(jnp.float32)
+    res2 = None if res is None else res.reshape(-1, n)
+    out = _q_mm_call(x.reshape(-1, k), ln, None, wq, ws_f, bf, res2, eps=eps)
+    return out.reshape(*lead, n)
+
+
+_q_mm.defvjp(lambda *a: (_q_mm(*a), None), _q_raise_bwd)
+
+
+@jax.custom_vjp
+def _q_mm_noln(x, act_scale, wq, ws, b, res):
+    """quantize -> int8 dot -> dequant (+res), no LN prologue."""
+    lead = x.shape[:-1]
+    k = x.shape[-1]
+    n = wq.shape[1]
+    s_x = act_scale.astype(jnp.float32) / 127.0
+    sinv = (1.0 / s_x).reshape(1, 1).astype(jnp.float32)
+    ws_f = s_x * ws.astype(jnp.float32).reshape(1, n)
+    bf = (b if b is not None else jnp.zeros((n,), jnp.float32)).astype(jnp.float32)
+    res2 = None if res is None else res.reshape(-1, n)
+    out = _q_mm_call(x.reshape(-1, k), None, sinv, wq, ws_f, bf, res2, eps=1e-5)
+    return out.reshape(*lead, n)
+
+
+_q_mm_noln.defvjp(lambda *a: (_q_mm_noln(*a), None), _q_raise_bwd)
+
+
+def ln_matmul_w8a8(ln_params, x, wq, w_scale, act_scale, b=None, *,
+                   eps: float = 1e-5, residual=None, impl: str = "auto"):
+    """LayerNorm -> static-W8A8 matmul (+bias) (+residual), fused on TPU."""
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    gamma, beta = ln_params["scale"], ln_params["bias"]
+    if _want_kernel(impl) and q_supported(
+            m, x.shape[-1], wq.shape[1], x.dtype.itemsize):
+        return _q_mm(x, gamma, beta, act_scale, wq,
+                     w_scale.reshape(-1), b, eps, residual)
+    return _q_mm_xla(x, gamma, beta, act_scale, wq, w_scale.reshape(-1),
+                     b, residual, eps)
+
+
+def matmul_w8a8(x, wq, w_scale, act_scale, b=None, *, residual=None,
+                impl: str = "auto"):
+    """Static-W8A8 matmul (+bias) (+residual), quantize fused in."""
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    if _want_kernel(impl) and q_supported(
+            m, x.shape[-1], wq.shape[1], x.dtype.itemsize):
+        return _q_mm_noln(x, act_scale, wq, w_scale.reshape(-1), b, residual)
+    return _q_mm_xla(x, None, None, act_scale, wq, w_scale.reshape(-1),
+                     b, residual, 1e-5)
+
+
 def _want_kernel(impl: str) -> bool:
     on_tpu = jax.default_backend() in ("tpu", "axon")
     return impl in ("pallas", "flash") or (impl == "auto" and on_tpu)

@@ -123,6 +123,38 @@ def test_gn_matmul_interpret(rng):
         assert r < 3e-5, (name, r)
 
 
+def test_w8a8_fused_interpret(rng):
+    from jax.experimental.pallas import tpu as pltpu
+
+    m, k, n = 128, 320, 384
+    x = jnp.asarray(rng.standard_normal((1, m, k)), jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+    ws = jnp.asarray(rng.uniform(0.01, 0.02, (1, n)), jnp.float32)
+    act = jnp.asarray(3.0, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((n,)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((1, m, n)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal((k,)), jnp.float32)
+    beta = jnp.asarray(rng.standard_normal((k,)), jnp.float32)
+    ln = {"scale": gamma, "bias": beta}
+
+    with pltpu.force_tpu_interpret_mode():
+        got_ln = fl.ln_matmul_w8a8(ln, x, wq, ws, act, b, impl="pallas")
+        got_nl = fl.matmul_w8a8(x, wq, ws, act, b, residual=res, impl="pallas")
+    want_ln = fl._q_mm_xla(x, gamma, beta, act, wq, ws.reshape(-1), b, None, 1e-5)
+    want_nl = fl._q_mm_xla(x, None, None, act, wq, ws.reshape(-1), b, res, 1e-5)
+    # int8 rounding can flip +-1 LSB at exact .5 boundaries; compare dequant
+    np.testing.assert_allclose(np.asarray(got_ln), np.asarray(want_ln),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_nl), np.asarray(want_nl),
+                               rtol=1e-4, atol=1e-4)
+
+    # inference-only: gradients must raise, not silently zero
+    with pltpu.force_tpu_interpret_mode():
+        with pytest.raises(NotImplementedError):
+            jax.grad(lambda xx: jnp.sum(
+                fl.ln_matmul_w8a8(ln, xx, wq, ws, act, b, impl="pallas")))(x)
+
+
 def test_unsupported_falls_back(rng):
     # m not a multiple of 128 -> XLA fallback, still correct
     x = jnp.asarray(rng.standard_normal((1, 100, 320)), jnp.float32)
