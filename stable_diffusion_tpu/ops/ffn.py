@@ -307,6 +307,198 @@ def _ln_ffn_res_bwd(eps, saved, g):
 _ln_ffn_res.defvjp(_ln_ffn_res_fwd, _ln_ffn_res_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Static-W8A8 GeGLU FFN: LN -> quantize -> int8 W1v/W1g dots -> dequant ->
+# GeGLU (f32 VPU) -> requantize -> int8 W2 dot -> int32 accumulate ->
+# dequant (+bias) (+residual).  Neither int8 activation nor the (M, 4C)
+# intermediate ever exists in HBM.  m-outer grid; int8 weight blocks stream
+# (half the bytes of the bf16 kernel's).  Inference-only (VJP raises).
+# ---------------------------------------------------------------------------
+
+
+def _make_q_kernel(has_ln: bool, has_res: bool, eps: float):
+    def kernel(*refs):
+        mi, n = pl.program_id(0), pl.program_id(1)
+        nn = pl.num_programs(1)
+        i = 0
+        x_ref = refs[i]; i += 1
+        if has_ln:
+            g_ref, be_ref = refs[i], refs[i + 1]; i += 2
+        else:
+            s0inv_ref = refs[i]; i += 1
+        (w1vq, w1gq, ws1v, ws1g, b1v, b1g,
+         sh_ref, w2q, ws2, b2) = refs[i:i + 10]; i += 10
+        res_ref = None
+        if has_res:
+            res_ref = refs[i]; i += 1
+        o_ref = refs[i]; acc_ref = refs[i + 1]
+
+        if has_ln:
+            # gamma/beta pre-divided by the act scale: LN output IS the
+            # quantizer input
+            xs = _ln_f32(x_ref[...].astype(jnp.float32),
+                         g_ref[...], be_ref[...], eps)
+        else:
+            xs = x_ref[...].astype(jnp.float32) * s0inv_ref[0, 0]
+        xq = jnp.round(jnp.clip(xs, -127.0, 127.0)).astype(jnp.int8)
+        hv = jnp.dot(xq, w1vq[...], preferred_element_type=jnp.int32)
+        hg = jnp.dot(xq, w1gq[...], preferred_element_type=jnp.int32)
+        hvf = hv.astype(jnp.float32) * ws1v[...] + b1v[...]
+        hgf = hg.astype(jnp.float32) * ws1g[...] + b1g[...]
+        h = hvf * _gelu_f32(hgf)
+        # requantize with the second linear's calibrated act scale
+        # (sh_ref holds 1/s_h so the kernel multiplies, not divides)
+        hq = jnp.round(
+            jnp.clip(h * sh_ref[0, 0], -127.0, 127.0)
+        ).astype(jnp.int8)
+        part = jnp.dot(hq, w2q[...], preferred_element_type=jnp.int32)
+
+        @pl.when(n == 0)
+        def _first():
+            acc_ref[...] = part
+
+        @pl.when(n > 0)
+        def _rest():
+            acc_ref[...] = acc_ref[...] + part
+
+        @pl.when(n == nn - 1)
+        def _store():
+            out = acc_ref[...].astype(jnp.float32) * ws2[...] + b2[...]
+            if has_res:
+                out = out + res_ref[...].astype(jnp.float32)
+            o_ref[...] = out.astype(o_ref.dtype)
+
+    return kernel
+
+
+def _q_plan(m: int, c: int, hidden: int, itemsize: int):
+    """(bm, bn) for the int8 kernel (m-outer, int8 weights stream per n)."""
+    budget = 13 * 1024 * 1024
+    for bn in (hidden, 2560, 1280, 1024, 640, 512, 256):
+        if bn > hidden or hidden % bn:
+            continue
+        for bm in (512, 256, 128):
+            if bm > m or m % bm:
+                continue
+            wt = 2 * (2 * c * bn + bn * c)  # int8, double-buffered
+            io = 3 * 2 * bm * c * itemsize
+            acc = bm * c * 4
+            tmp = bm * c * 4 + bm * c + 3 * bm * bn * 4 + bm * bn
+            if wt + io + acc + tmp <= budget:
+                return bm, bn
+    return 0, 0
+
+
+def q_supported(x: jax.Array, hidden: int) -> bool:
+    if x.ndim != 3:
+        return False
+    b, s, c = x.shape
+    m = b * s
+    if m % 128 or c % 32 or hidden % 128:
+        return False
+    return _q_plan(m, c, hidden, x.dtype.itemsize) != (0, 0)
+
+
+def _q_raise_bwd(*a, **k):
+    raise NotImplementedError(
+        "W8A8 FFN is inference-only: gradients through the int8 round/clip "
+        "quantizer would be silently wrong — train in bf16 and quantize "
+        "afterwards (utils/quantize_model)"
+    )
+
+
+def _ffn_q_xla(x, gamma, beta, p0, p1, res, eps):
+    """XLA reference: LN -> int8 linear -> GeGLU -> int8 linear (+res)."""
+    from stable_diffusion_tpu.models import layers
+
+    h = x
+    if gamma is not None:
+        h = layers.layer_norm({"scale": gamma, "bias": beta}, x, eps=eps)
+    hh = layers.linear(p0, h)
+    x1, gate = jnp.split(hh, 2, axis=-1)
+    hh = x1 * jax.nn.gelu(gate.astype(jnp.float32), approximate=False).astype(x.dtype)
+    y = layers.linear(p1, hh)
+    return y if res is None else y + res
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def _ffn_q(x, gamma, beta, w1q, ws1, b1, s0, w2q, ws2_b2_sh, res, eps):
+    ws2, b2, s_h = ws2_b2_sh
+    b, s, c = x.shape
+    hidden = w2q.shape[0]
+    m = b * s
+    bm, bn = _q_plan(m, c, hidden, x.dtype.itemsize)
+
+    s0f = s0.astype(jnp.float32) / 127.0
+    shf = s_h.astype(jnp.float32) / 127.0
+    ws1f = ws1.astype(jnp.float32).reshape(1, 2 * hidden) * s0f
+    ws1v_, ws1g_ = ws1f[:, :hidden], ws1f[:, hidden:]
+    b1f = b1.astype(jnp.float32).reshape(1, 2 * hidden)
+    b1v_, b1g_ = b1f[:, :hidden], b1f[:, hidden:]
+    ws2f = ws2.astype(jnp.float32).reshape(1, c) * shf
+    b2f = b2.astype(jnp.float32).reshape(1, c)
+    w1vq_, w1gq_ = w1q[:, :hidden], w1q[:, hidden:]
+
+    has_ln = gamma is not None
+    has_res = res is not None
+    x2 = x.reshape(m, c)
+    grid = (m // bm, hidden // bn)
+    midx = lambda i, n: (i, 0)
+    w_c = lambda i, n: (0, n)
+    w_r = lambda i, n: (n, 0)
+    const = lambda i, n: (0, 0)
+
+    inputs = [x2]
+    specs = [pl.BlockSpec((bm, c), midx)]
+    if has_ln:
+        inputs += [
+            (gamma.astype(jnp.float32) / s0f).reshape(1, c),
+            (beta.astype(jnp.float32) / s0f).reshape(1, c),
+        ]
+        specs += [pl.BlockSpec((1, c), const)] * 2
+    else:
+        inputs.append((1.0 / s0f).reshape(1, 1))
+        specs.append(pl.BlockSpec((1, 1), const))
+    inputs += [w1vq_, w1gq_, ws1v_, ws1g_, b1v_, b1g_,
+               (1.0 / shf).reshape(1, 1), w2q, ws2f, b2f]
+    specs += [
+        pl.BlockSpec((c, bn), w_c),
+        pl.BlockSpec((c, bn), w_c),
+        pl.BlockSpec((1, bn), w_c),
+        pl.BlockSpec((1, bn), w_c),
+        pl.BlockSpec((1, bn), w_c),
+        pl.BlockSpec((1, bn), w_c),
+        pl.BlockSpec((1, 1), const),
+        pl.BlockSpec((bn, c), w_r),
+        pl.BlockSpec((1, c), const),
+        pl.BlockSpec((1, c), const),
+    ]
+    if has_res:
+        inputs.append(res.reshape(m, c))
+        specs.append(pl.BlockSpec((bm, c), midx))
+
+    out = pl.pallas_call(
+        _make_q_kernel(has_ln, has_res, eps),
+        grid=grid,
+        in_specs=specs,
+        out_specs=pl.BlockSpec((bm, c), midx),
+        out_shape=jax.ShapeDtypeStruct((m, c), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, c), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * c * 3 * hidden,
+            bytes_accessed=2 * m * c * x.dtype.itemsize + 3 * c * hidden,
+            transcendentals=m * hidden,
+        ),
+    )(*inputs)
+    return out.reshape(b, s, c)
+
+
+_ffn_q.defvjp(lambda *a: (_ffn_q(*a), None), _q_raise_bwd)
+
+
 def geglu_ffn(ffn_params, x: jax.Array, *, ln_params=None, residual=None,
               eps: float = 1e-5, impl: str = "auto") -> jax.Array:
     """The attention block's FFN: (LN ->) GeGLU proj + output linear
@@ -322,6 +514,19 @@ def geglu_ffn(ffn_params, x: jax.Array, *, ln_params=None, residual=None,
     p0, p1 = ffn_params["0"]["proj"], ffn_params["1"]
     on_tpu = jax.default_backend() in ("tpu", "axon")
     want = impl in ("pallas", "flash") or (impl == "auto" and on_tpu)
+    if (want and "kernel_q" in p0 and "act_scale" in p0
+            and "kernel_q" in p1 and "act_scale" in p1
+            and "bias" in p0 and "bias" in p1
+            and q_supported(x, p1["kernel_q"].shape[0])):
+        gamma = ln_params["scale"] if ln_params is not None else None
+        beta = ln_params["bias"] if ln_params is not None else None
+        out = _ffn_q(
+            x, gamma, beta, p0["kernel_q"], p0["kernel_scale"], p0["bias"],
+            p0["act_scale"], p1["kernel_q"],
+            (p1["kernel_scale"], p1["bias"], p1["act_scale"]),
+            residual, eps,
+        )
+        return out
     if (want and "kernel" in p0 and "kernel" in p1
             and "bias" in p0 and "bias" in p1
             and supported(x, p0["kernel"])):

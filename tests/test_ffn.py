@@ -123,3 +123,38 @@ def test_n_outer_layout_picked_for_wide_c():
     # stage0-like: everything fits resident -> m-outer single-n
     layout, bm, bn = ffn_ops._plan(8192, 320, 1280, 2)
     assert layout == "mo" and bn == 1280
+
+
+def test_w8a8_ffn_kernel_matches_xla_int8():
+    from stable_diffusion_tpu.ops import quantize as Q
+
+    b, s, c, hidden = 1, 128, 128, 512
+    p = _params(None, c, hidden)
+    q0, s0 = Q.quantize_tensor(p["0"]["proj"]["kernel"], axis=0)
+    q1, s1 = Q.quantize_tensor(p["1"]["kernel"], axis=0)
+    pq = {
+        "0": {"proj": {"kernel_q": q0, "kernel_scale": s0,
+                       "bias": p["0"]["proj"]["bias"],
+                       "act_scale": jnp.asarray(4.0, jnp.float32)}},
+        "1": {"kernel_q": q1, "kernel_scale": s1, "bias": p["1"]["bias"],
+              "act_scale": jnp.asarray(6.0, jnp.float32)},
+    }
+    x = jax.random.normal(jax.random.key(2), (b, s, c), jnp.float32) * 0.5
+    ln = {"scale": jnp.ones((c,), jnp.float32) * 1.1,
+          "bias": jnp.zeros((c,), jnp.float32)}
+    res = jax.random.normal(jax.random.key(3), (b, s, c), jnp.float32)
+
+    want = np.asarray(ffn_ops._ffn_q_xla(
+        x, ln["scale"], ln["bias"], pq["0"]["proj"], pq["1"], res, 1e-5))
+    assert ffn_ops.q_supported(x, hidden)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(ffn_ops.geglu_ffn(
+            pq, x, ln_params=ln, residual=res, impl="pallas"))
+    rel = np.abs(got - want).max() / (np.abs(want).max() + 1e-9)
+    assert rel < 5e-3, rel
+
+    # gradients must raise (inference-only), not silently zero
+    with pltpu.force_tpu_interpret_mode():
+        with pytest.raises(NotImplementedError):
+            jax.grad(lambda xx: jnp.sum(ffn_ops.geglu_ffn(
+                pq, xx, ln_params=ln, residual=res, impl="pallas")))(x)
