@@ -25,5 +25,11 @@ BENCH_CONFIG=sd15_img2img timeout 1800 python bench.py >> $L 2>&1
 BENCH_CONFIG=sd21_txt2img_768 timeout 2400 python bench.py >> $L 2>&1
 BENCH_CONFIG=one_step_b32 timeout 1800 python bench.py >> $L 2>&1
 
+# 5. per-op tables for configs 1-3/5 (VERDICT item 6)
+timeout 2400 python benchmarks/profile_e2e.py >> $L 2>&1
+E2E_CONFIG=img2img timeout 2400 python benchmarks/profile_e2e.py >> $L 2>&1
+E2E_CONFIG=sd21_768 timeout 2400 python benchmarks/profile_e2e.py >> $L 2>&1
+E2E_CONFIG=one_step timeout 2400 python benchmarks/profile_e2e.py >> $L 2>&1
+
 date >> $L
 echo SWEEP_DONE >> $L
