@@ -6,8 +6,9 @@ cd "$(dirname "$0")/.."
 L=/tmp/r3_sweep.log
 date >> $L
 
-# 1. fused-linear microbench (new kernels vs XLA at stage shapes)
+# 1. fused-linear + winograd microbenches (new kernels vs XLA/tap)
 timeout 1800 python benchmarks/microbench_linear.py >> $L 2>&1
+timeout 1800 python benchmarks/microbench_winograd.py >> $L 2>&1
 
 # 2. headline configs
 timeout 1800 python bench.py >> $L 2>&1                      # b1 txt2img
