@@ -205,6 +205,11 @@ def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
     b, h, w, c = x.shape
     if h % 2 or w % 2 or w < 16:
         return False
+    # the host-side xw build materializes (B, H+2, W/2, 4*Cp) — 2.2x the
+    # input; cap the slab like ops/conv._X3_MAX_BYTES does for x3
+    cp = (c + 127) // 128 * 128
+    if b * (h + 2) * (w // 2) * 4 * cp * x.dtype.itemsize > 1792 * 1024 * 1024:
+        return False
     th, bn, cp = _plan(h, w, c, kernel.shape[-1], x.dtype.itemsize)
     return th > 0
 
