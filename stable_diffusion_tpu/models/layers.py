@@ -138,6 +138,28 @@ def conv2d(
         if "bias" in params:
             y = y + params["bias"].astype(x.dtype)
         return y
+    if (kernel.shape[0] == kernel.shape[1] == 3 and stride == 2
+            and padding in (1, ((1, 1), (1, 1)))
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and x.shape[1] * x.shape[2] // 4 * 9 * x.shape[3] * 2 * x.shape[0]
+            <= 80 * 1024 * 1024):
+        # UNet downsample (stride-2, pad 1): same im2col-dot lowering as the
+        # stride-1 routes — keeps the activation in T(8,128) row-major next
+        # to the Pallas kernels instead of XLA's T(2,128) spatial-conv layout
+        b, h, w, c = x.shape
+        co = kernel.shape[-1]
+        xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        cols = [
+            jax.lax.slice(xp, (0, dy, dx, 0), (b, dy + h - 1, dx + w - 1, c),
+                          (1, 2, 2, 1))
+            for dy in range(3) for dx in range(3)
+        ]
+        x9 = jnp.concatenate(cols, axis=-1).reshape(b * (h // 2) * (w // 2), 9 * c)
+        y = jnp.dot(x9, kernel.reshape(9 * c, co),
+                    preferred_element_type=x.dtype).reshape(b, h // 2, w // 2, co)
+        if "bias" in params:
+            y = y + params["bias"].astype(x.dtype)
+        return y
     if isinstance(padding, int):
         padding = ((padding, padding), (padding, padding))
     y = jax.lax.conv_general_dilated(

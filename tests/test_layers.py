@@ -116,3 +116,26 @@ def test_upsample_nearest(rng):
     )
     got = np.asarray(layers.upsample_nearest_2x(jnp.asarray(to_nhwc(x))))
     np.testing.assert_allclose(got, want, atol=0)
+
+
+def test_conv2d_stride2_im2col_matches_xla():
+    import jax
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 16, 32, 24)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 24, 48)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((48,)), jnp.float32)
+    got = layers.conv2d({"kernel": k, "bias": b}, x, stride=2, padding=1)
+    want = jax.lax.conv_general_dilated(
+        x, k, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+    # gradients flow through the im2col lowering
+    g = jax.grad(lambda xx: jnp.sum(layers.conv2d(
+        {"kernel": k, "bias": b}, xx, stride=2, padding=1) ** 2))(x)
+    gw = jax.grad(lambda xx: jnp.sum((jax.lax.conv_general_dilated(
+        xx, k, (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + b) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gw),
+                               rtol=1e-4, atol=1e-4)
