@@ -1,30 +1,31 @@
 #!/bin/bash
 # Round-3 on-chip measurement sweep (run when the axon tunnel is up).
+# Ordered most-important-first in case the tunnel drops mid-sweep.
 # Each step is independently skippable; results append to /tmp/r3_sweep.log.
 set -x
 cd "$(dirname "$0")/.."
 L=/tmp/r3_sweep.log
 date >> $L
 
-# 1. fused-linear + winograd microbenches (new kernels vs XLA/tap)
+# 1. headline configs (capture first)
+timeout 1800 python bench.py >> $L 2>&1                      # b1 txt2img
+BENCH_BATCH=4 timeout 1800 python bench.py >> $L 2>&1        # b4
+BENCH_CONFIG=train_step timeout 2400 python bench.py >> $L 2>&1
+BENCH_CONFIG=one_step_b32 timeout 1800 python bench.py >> $L 2>&1
+
+# 2. new-kernel microbenches (decide gates)
 timeout 1800 python benchmarks/microbench_linear.py >> $L 2>&1
 timeout 1800 python benchmarks/microbench_winograd.py >> $L 2>&1
 
-# 2. headline configs
-timeout 1800 python bench.py >> $L 2>&1                      # b1 txt2img
-BENCH_BATCH=4 timeout 1800 python bench.py >> $L 2>&1        # b4
-BENCH_BATCH=8 timeout 1800 python bench.py >> $L 2>&1        # b8
+# 3. serving variants + train A/Bs
 BENCH_INT8=static BENCH_BATCH=4 timeout 1800 python bench.py >> $L 2>&1
-
-# 3. train step: conv-bwd A/B and remat A/B
-BENCH_CONFIG=train_step timeout 2400 python bench.py >> $L 2>&1
+BENCH_BATCH=8 timeout 1800 python bench.py >> $L 2>&1
 SD_TPU_CONV_BWD=xla BENCH_CONFIG=train_step timeout 2400 python bench.py >> $L 2>&1
 BENCH_TRAIN_REMAT=0 BENCH_CONFIG=train_step timeout 2400 python bench.py >> $L 2>&1
 
 # 4. remaining configs
 BENCH_CONFIG=sd15_img2img timeout 1800 python bench.py >> $L 2>&1
 BENCH_CONFIG=sd21_txt2img_768 timeout 2400 python bench.py >> $L 2>&1
-BENCH_CONFIG=one_step_b32 timeout 1800 python bench.py >> $L 2>&1
 
 # 5. per-op tables for configs 1-3/5 (VERDICT item 6)
 timeout 2400 python benchmarks/profile_e2e.py >> $L 2>&1
