@@ -33,5 +33,8 @@ E2E_CONFIG=img2img timeout 2400 python benchmarks/profile_e2e.py >> $L 2>&1
 E2E_CONFIG=sd21_768 timeout 2400 python benchmarks/profile_e2e.py >> $L 2>&1
 E2E_CONFIG=one_step timeout 2400 python benchmarks/profile_e2e.py >> $L 2>&1
 
+# 6. quality deltas must hold with the fused kernels in the path
+timeout 3600 python benchmarks/quality_deltas.py >> $L 2>&1
+
 date >> $L
 echo SWEEP_DONE >> $L
