@@ -390,6 +390,10 @@ def _q_plan(m: int, c: int, hidden: int, itemsize: int):
 
 
 def q_supported(x: jax.Array, hidden: int) -> bool:
+    import os
+
+    if os.environ.get("SD_TPU_Q_FUSED", "1") == "0":
+        return False  # safety hatch, see ops/linear.q_supported
     if x.ndim != 3:
         return False
     b, s, c = x.shape

@@ -26,6 +26,7 @@ ops/ffn.py), so the kernel is usable inside the training step.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -403,6 +404,11 @@ def _q_plan(m: int, k: int, n: int, itemsize: int):
 
 
 def q_supported(m: int, k: int, n: int, itemsize: int = 2) -> bool:
+    # SD_TPU_Q_FUSED=0 reverts the W8A8 sites to the XLA int8 dots (safety
+    # hatch: the in-kernel f32->int8 quantize is the one Mosaic pattern the
+    # earlier int8 conv kernel did not already prove on-chip)
+    if os.environ.get("SD_TPU_Q_FUSED", "1") == "0":
+        return False
     if m % 128 or n % 128 or k % 32:
         return False
     return _q_plan(m, k, n, itemsize) != (0, 0)
