@@ -19,6 +19,7 @@ timeout 1800 python benchmarks/microbench_winograd.py >> $L 2>&1
 
 # 3. serving variants + train A/Bs
 BENCH_INT8=static BENCH_BATCH=4 timeout 1800 python bench.py >> $L 2>&1
+SD_TPU_Q_FUSED=0 BENCH_INT8=static BENCH_BATCH=4 timeout 1800 python bench.py >> $L 2>&1
 BENCH_BATCH=8 timeout 1800 python bench.py >> $L 2>&1
 SD_TPU_CONV_BWD=xla BENCH_CONFIG=train_step timeout 2400 python bench.py >> $L 2>&1
 BENCH_TRAIN_REMAT=0 BENCH_CONFIG=train_step timeout 2400 python bench.py >> $L 2>&1
