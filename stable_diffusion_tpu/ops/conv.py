@@ -303,10 +303,17 @@ def _batch_chunk(b: int, h: int, w: int, c: int, itemsize: int) -> int:
 def _conv3x3(x, kernel, bias):
     from stable_diffusion_tpu.ops import winograd as wg
 
-    if wg.supported(x, kernel, 1, "SAME"):
-        # opt-in (SD_TPU_WINOGRAD=1): 2.25x fewer MXU FLOPs, input read once
-        return wg.conv3x3_winograd(x, kernel, bias)
     b, h, w, c = x.shape
+    if wg.route(x, kernel, 1, "SAME"):
+        # opt-in (SD_TPU_WINOGRAD=1): 2.25x fewer MXU FLOPs, input read once.
+        # Batch-chunk the host-side xw slab like the tap kernel's x3 below.
+        bc = wg.batch_chunk(b, h, w, c, x.dtype.itemsize)
+        if bc < b:
+            xs = x.reshape(b // bc, bc, h, w, c)
+            y = jax.lax.map(
+                lambda xc: wg.conv3x3_winograd(xc, kernel, bias), xs)
+            return y.reshape(b, h, w, kernel.shape[-1])
+        return wg.conv3x3_winograd(x, kernel, bias)
     bc = _batch_chunk(b, h, w, c, x.dtype.itemsize)
     if bc < b:
         xs = x.reshape(b // bc, bc, h, w, c)

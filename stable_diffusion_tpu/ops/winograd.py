@@ -195,7 +195,25 @@ def _plan(h: int, w: int, c: int, cout: int, itemsize: int):
     return 0, 0, 0
 
 
-def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
+_XW_MAX_BYTES = 1792 * 1024 * 1024
+
+
+def _xw_bytes(b: int, h: int, w: int, c: int, itemsize: int) -> int:
+    cp = (c + 127) // 128 * 128
+    return b * (h + 2) * (w // 2) * 4 * cp * itemsize
+
+
+def batch_chunk(b: int, h: int, w: int, c: int, itemsize: int) -> int:
+    """Largest divisor of b whose xw slab stays under _XW_MAX_BYTES."""
+    per = _xw_bytes(1, h, w, c, itemsize)
+    bc = b
+    while bc > 1 and (bc * per > _XW_MAX_BYTES or b % bc):
+        bc -= 1
+    return bc
+
+
+def route(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
+    """Shape/gate check ignoring batch size (the caller batch-chunks)."""
     if os.environ.get("SD_TPU_WINOGRAD", "0") != "1":
         return False
     if x.ndim != 4 or kernel.shape[:2] != (3, 3) or stride != 1:
@@ -205,13 +223,16 @@ def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
     b, h, w, c = x.shape
     if h % 2 or w % 2 or w < 16:
         return False
-    # the host-side xw build materializes (B, H+2, W/2, 4*Cp) — 2.2x the
-    # input; cap the slab like ops/conv._X3_MAX_BYTES does for x3
-    cp = (c + 127) // 128 * 128
-    if b * (h + 2) * (w // 2) * 4 * cp * x.dtype.itemsize > 1792 * 1024 * 1024:
-        return False
     th, bn, cp = _plan(h, w, c, kernel.shape[-1], x.dtype.itemsize)
     return th > 0
+
+
+def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
+    if not route(x, kernel, stride, padding):
+        return False
+    b, h, w, c = x.shape
+    # single-slab form; callers that can lax.map use route() + batch_chunk()
+    return _xw_bytes(b, h, w, c, x.dtype.itemsize) <= _XW_MAX_BYTES
 
 
 def conv3x3_winograd(x: jax.Array, kernel: jax.Array, bias) -> jax.Array:
