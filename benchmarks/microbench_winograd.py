@@ -50,6 +50,8 @@ def main():
         (2, 96, 96, 320, 320),   # 768^2 stage 0
         (1, 512, 512, 128, 128), # VAE decode last stage
         (1, 256, 256, 256, 256),
+        (8, 512, 512, 128, 128), # serving decode chunk (one-step b32 -> bc=8)
+        (8, 256, 256, 256, 256),
     ]
     for (b, h, w, cin, cout) in shapes:
         k1, k2 = jax.random.split(jax.random.fold_in(key, h * cin + cout))
