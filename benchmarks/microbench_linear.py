@@ -59,10 +59,11 @@ def bench_ln_qkv(b, s, c, wp):
         return run
 
     flops = 2 * b * s * c * 3 * wp
+    mark = "" if fl.supported(b * s, c, 3 * wp) else " (PALLAS=XLA-FALLBACK)"
     t_pal = diff_time(lambda n: make(n, "pallas"), x, w)
     t_xla = diff_time(lambda n: make(n, "xla"), x, w)
     print(
-        f"ln_qkv b{b} s{s} c{c} wp{wp}: pallas {t_pal*1e3:7.3f} ms "
+        f"ln_qkv b{b} s{s} c{c} wp{wp}{mark}: pallas {t_pal*1e3:7.3f} ms "
         f"({flops/t_pal/1e12:5.1f} TF/s)  xla {t_xla*1e3:7.3f} ms "
         f"({flops/t_xla/1e12:5.1f} TF/s)  "
         f"{'PALLAS' if t_pal < t_xla else 'xla'} wins"
@@ -90,10 +91,11 @@ def bench_out_res(b, s, c, wp):
         return run
 
     flops = 2 * b * s * wp * c
+    mark = "" if fl.supported(b * s, wp, c) else " (PALLAS=XLA-FALLBACK)"
     t_pal = diff_time(lambda n: make(n, "pallas"), x, w, res)
     t_xla = diff_time(lambda n: make(n, "xla"), x, w, res)
     print(
-        f"out_res b{b} s{s} wp{wp} c{c}: pallas {t_pal*1e3:7.3f} ms "
+        f"out_res b{b} s{s} wp{wp} c{c}{mark}: pallas {t_pal*1e3:7.3f} ms "
         f"({flops/t_pal/1e12:5.1f} TF/s)  xla {t_xla*1e3:7.3f} ms "
         f"({flops/t_xla/1e12:5.1f} TF/s)  "
         f"{'PALLAS' if t_pal < t_xla else 'xla'} wins"
@@ -119,10 +121,11 @@ def bench_gn_mm(b, hw, c):
         return run
 
     flops = 2 * b * hw * hw * c * c
+    mark = "" if fl.gn_supported(b * hw * hw, hw * hw, c, c) else " (PALLAS=XLA-FALLBACK)"
     t_pal = diff_time(lambda n: make(n, "pallas"), x, w)
     t_xla = diff_time(lambda n: make(n, "xla"), x, w)
     print(
-        f"gn_mm b{b} {hw}^2 c{c}: pallas {t_pal*1e3:7.3f} ms "
+        f"gn_mm b{b} {hw}^2 c{c}{mark}: pallas {t_pal*1e3:7.3f} ms "
         f"({flops/t_pal/1e12:5.1f} TF/s)  xla {t_xla*1e3:7.3f} ms "
         f"({flops/t_xla/1e12:5.1f} TF/s)  "
         f"{'PALLAS' if t_pal < t_xla else 'xla'} wins"
@@ -150,10 +153,11 @@ def bench_w8a8_qkv(b, s, c, wp):
         return run
 
     flops = 2 * b * s * c * 3 * wp
+    mark = "" if fl.q_supported(b * s, c, 3 * wp) else " (PALLAS=XLA-FALLBACK)"
     t_pal = diff_time(lambda n: make(n, "pallas"), x, wq)
     t_xla = diff_time(lambda n: make(n, "xla"), x, wq)
     print(
-        f"w8a8_qkv b{b} s{s} c{c} wp{wp}: pallas {t_pal*1e3:7.3f} ms "
+        f"w8a8_qkv b{b} s{s} c{c} wp{wp}{mark}: pallas {t_pal*1e3:7.3f} ms "
         f"({flops/t_pal/1e12:5.1f} TF/s)  xla {t_xla*1e3:7.3f} ms "
         f"({flops/t_xla/1e12:5.1f} TF/s)  "
         f"{'PALLAS' if t_pal < t_xla else 'xla'} wins"

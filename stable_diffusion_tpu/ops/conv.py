@@ -498,6 +498,41 @@ def _dx_via_forward() -> bool:
     return os.environ.get("SD_TPU_CONV_BWD", "auto") != "xla"
 
 
+def _dx_conv(kernel, g):
+    """Input gradient of a SAME 3x3 stride-1 conv IS such a conv with the
+    spatially flipped, I/O-swapped kernel — route it through the forward
+    dispatcher (Pallas/im2col where the envelope covers it)."""
+    kb = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2)).astype(g.dtype)
+    return conv3x3({"kernel": kb}, g)
+
+
+def _gn_split_bwd(num_groups, eps, res, g):
+    """Shared backward for the GN-SiLU-conv composites: dx via the Pallas/
+    im2col forward dispatcher, dw/db and the GN-SiLU chain via the XLA vjp
+    (the unused XLA dxn is dead-code-eliminated)."""
+    from stable_diffusion_tpu.models import layers
+
+    gamma, beta, x, kernel, bias = res
+    if not _dx_via_forward():
+        _, vjp = jax.vjp(
+            lambda a, b, c, d, e: _gn_silu_conv_xla(a, b, c, d, e, num_groups, eps),
+            gamma, beta, x, kernel, bias,
+        )
+        return vjp(g)
+
+    def norm_silu(a, b, xx):
+        y = layers.group_norm({"scale": a, "bias": b}, xx,
+                              num_groups=num_groups, eps=eps)
+        return layers.silu(y)
+
+    xn, vjp_ns = jax.vjp(norm_silu, gamma, beta, x)
+    _, vjp_conv = jax.vjp(_xla_conv, xn, kernel, bias)
+    _, dw, db = vjp_conv(g)
+    dxn = _dx_conv(kernel, g)
+    dgamma, dbeta, dx = vjp_ns(dxn.astype(xn.dtype))
+    return dgamma, dbeta, dx, dw, db
+
+
 def _conv_fwd(x, kernel, bias):
     return _conv3x3(x, kernel, bias), (x, kernel, bias)
 
@@ -513,9 +548,7 @@ def _conv_bwd(res, g):
     if not _dx_via_forward():
         return vjp(g)
     _, dw, db = vjp(g)
-    kb = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2)).astype(g.dtype)
-    dx = conv3x3({"kernel": kb}, g)
-    return dx, dw, db
+    return _dx_conv(kernel, g), dw, db
 
 
 _conv3x3.defvjp(_conv_fwd, _conv_bwd)
@@ -548,35 +581,7 @@ def _gn_conv_fwd(gamma, beta, x, kernel, bias, num_groups, eps):
     return out, (gamma, beta, x, kernel, bias)
 
 
-def _gn_conv_bwd(num_groups, eps, res, g):
-    """Split backward: the conv's input gradient routes through the Pallas
-    forward dispatcher (flipped/swapped kernel, see _conv_bwd); the GN-SiLU
-    elementwise/stats chain and dw/db stay on the XLA vjp."""
-    from stable_diffusion_tpu.models import layers
-
-    gamma, beta, x, kernel, bias = res
-    if not _dx_via_forward():
-        _, vjp = jax.vjp(
-            lambda a, b, c, d, e: _gn_silu_conv_xla(a, b, c, d, e, num_groups, eps),
-            gamma, beta, x, kernel, bias,
-        )
-        return vjp(g)
-
-    def norm_silu(a, b, xx):
-        y = layers.group_norm({"scale": a, "bias": b}, xx,
-                              num_groups=num_groups, eps=eps)
-        return layers.silu(y)
-
-    xn, vjp_ns = jax.vjp(norm_silu, gamma, beta, x)
-    _, vjp_conv = jax.vjp(_xla_conv, xn, kernel, bias)
-    _, dw, db = vjp_conv(g)  # the unused XLA dxn is dead-code-eliminated
-    kb = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2)).astype(g.dtype)
-    dxn = conv3x3({"kernel": kb}, g)
-    dgamma, dbeta, dx = vjp_ns(dxn.astype(xn.dtype))
-    return dgamma, dbeta, dx, dw, db
-
-
-_gn_silu_conv.defvjp(_gn_conv_fwd, _gn_conv_bwd)
+_gn_silu_conv.defvjp(_gn_conv_fwd, _gn_split_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -604,34 +609,7 @@ def _gn_im2col_fwd(gamma, beta, x, kernel, bias, num_groups, eps):
     return out, (gamma, beta, x, kernel, bias)
 
 
-def _gn_im2col_bwd(num_groups, eps, res, g):
-    """Same split as _gn_conv_bwd: Pallas/im2col-dispatched dx, XLA dw/db and
-    GN-SiLU chain (the tiny-spatial dx conv lowers to an im2col dot too)."""
-    from stable_diffusion_tpu.models import layers
-
-    gamma, beta, x, kernel, bias = res
-    if not _dx_via_forward():
-        _, vjp = jax.vjp(
-            lambda a, b, c, d, e: _gn_silu_conv_xla(a, b, c, d, e, num_groups, eps),
-            gamma, beta, x, kernel, bias,
-        )
-        return vjp(g)
-
-    def norm_silu(a, b, xx):
-        y = layers.group_norm({"scale": a, "bias": b}, xx,
-                              num_groups=num_groups, eps=eps)
-        return layers.silu(y)
-
-    xn, vjp_ns = jax.vjp(norm_silu, gamma, beta, x)
-    _, vjp_conv = jax.vjp(_xla_conv, xn, kernel, bias)
-    _, dw, db = vjp_conv(g)
-    kb = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2)).astype(g.dtype)
-    dxn = conv3x3({"kernel": kb}, g)
-    dgamma, dbeta, dx = vjp_ns(dxn.astype(xn.dtype))
-    return dgamma, dbeta, dx, dw, db
-
-
-_gn_silu_im2col.defvjp(_gn_im2col_fwd, _gn_im2col_bwd)
+_gn_silu_im2col.defvjp(_gn_im2col_fwd, _gn_split_bwd)
 
 
 def gn_silu_conv3x3(

@@ -390,10 +390,10 @@ def _q_plan(m: int, c: int, hidden: int, itemsize: int):
 
 
 def q_supported(x: jax.Array, hidden: int) -> bool:
-    import os
+    from stable_diffusion_tpu.ops.linear import q_fused_enabled
 
-    if os.environ.get("SD_TPU_Q_FUSED", "1") == "0":
-        return False  # safety hatch, see ops/linear.q_supported
+    if not q_fused_enabled():
+        return False
     if x.ndim != 3:
         return False
     b, s, c = x.shape
@@ -404,11 +404,9 @@ def q_supported(x: jax.Array, hidden: int) -> bool:
 
 
 def _q_raise_bwd(*a, **k):
-    raise NotImplementedError(
-        "W8A8 FFN is inference-only: gradients through the int8 round/clip "
-        "quantizer would be silently wrong — train in bf16 and quantize "
-        "afterwards (utils/quantize_model)"
-    )
+    from stable_diffusion_tpu.ops.linear import _q_raise_bwd as impl
+
+    return impl(*a, **k)
 
 
 def _ffn_q_xla(x, gamma, beta, p0, p1, res, eps):

@@ -71,10 +71,14 @@ def _make_kernel(has_ln: bool, has_res: bool, has_bias: bool, eps: float):
 
 
 def _plan(m: int, k: int, n: int, itemsize: int):
-    """(bm, bn) under the VMEM budget, or (0, 0) if infeasible."""
+    """(bm, bn) under the VMEM budget, or (0, 0) if infeasible.
+
+    bn = n (single weight block, Mosaic pads the lane tail internally —
+    e.g. n = 320, proven by the FFN kernel's C=320 out blocks) is tried
+    first; otherwise bn must be a 128-multiple divisor of n."""
     budget = 13 * 1024 * 1024
     for bn in (n, 2048, 1024, 512, 256, 128):
-        if bn > n or n % bn:
+        if bn > n or n % bn or (bn != n and bn % 128):
             continue
         for bm in (512, 256, 128):
             if bm > m or m % bm:
@@ -90,7 +94,7 @@ def _plan(m: int, k: int, n: int, itemsize: int):
 
 
 def supported(m: int, k: int, n: int, itemsize: int = 2) -> bool:
-    if m % 128 or n % 128 or k % 8:
+    if m % 128 or n % 8 or k % 8:
         return False
     return _plan(m, k, n, itemsize) != (0, 0)
 
@@ -223,21 +227,11 @@ _mm_res.defvjp(_mm_res_fwd, _mm_res_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _make_gn_kernel(has_res: bool):
-    def kernel(*refs):
-        if has_res:
-            x_ref, ss_ref, w_ref, b_ref, res_ref, o_ref = refs
-        else:
-            x_ref, ss_ref, w_ref, b_ref, o_ref = refs
-        x = x_ref[...].astype(jnp.float32)
-        xn = (x * ss_ref[0, 0][None, :] + ss_ref[0, 1][None, :]).astype(o_ref.dtype)
-        acc = jnp.dot(xn, w_ref[...], preferred_element_type=jnp.float32)
-        acc = acc + b_ref[...]
-        if has_res:
-            acc = acc + res_ref[...].astype(jnp.float32)
-        o_ref[...] = acc.astype(o_ref.dtype)
-
-    return kernel
+def _gn_mm_kernel(x_ref, ss_ref, w_ref, b_ref, o_ref):
+    x = x_ref[...].astype(jnp.float32)
+    xn = (x * ss_ref[0, 0][None, :] + ss_ref[0, 1][None, :]).astype(o_ref.dtype)
+    acc = jnp.dot(xn, w_ref[...], preferred_element_type=jnp.float32)
+    o_ref[...] = (acc + b_ref[...]).astype(o_ref.dtype)
 
 
 def _gn_plan(m: int, s: int, k: int, n: int, itemsize: int):
@@ -245,7 +239,7 @@ def _gn_plan(m: int, s: int, k: int, n: int, itemsize: int):
     block reads exactly one batch element's (2, C) stats."""
     budget = 13 * 1024 * 1024
     for bn in (n, 2048, 1024, 512, 256, 128):
-        if bn > n or n % bn:
+        if bn > n or n % bn or (bn != n and bn % 128):
             continue
         for bm in (512, 256, 128):
             if bm > m or m % bm or s % bm:
@@ -254,40 +248,33 @@ def _gn_plan(m: int, s: int, k: int, n: int, itemsize: int):
             w_b = 2 * k * bn * itemsize
             o_b = 2 * bm * bn * itemsize
             tmp = bm * max(k, bn) * 4 + bm * k * 4
-            if x_b + w_b + 2 * o_b + tmp <= budget:
+            if x_b + w_b + o_b + tmp <= budget:
                 return bm, bn
     return 0, 0
 
 
 def gn_supported(m: int, s: int, k: int, n: int, itemsize: int = 2) -> bool:
-    if m % 128 or n % 128 or k % 8:
+    if m % 128 or n % 8 or k % 8:
         return False
     return _gn_plan(m, s, k, n, itemsize) != (0, 0)
 
 
-def _gn_mm_call(x2, ss, w, b, res2, *, s):
+def _gn_mm_call(x2, ss, w, b, *, s):
     m, k = x2.shape
     n = w.shape[1]
     bm, bn = _gn_plan(m, s, k, n, x2.dtype.itemsize)
-    has_res = res2 is not None
     rows_per_img = s // bm
 
     grid = (m // bm, n // bn)
-    inputs = [x2, ss]
+    inputs = [x2, ss, w, b.reshape(1, n)]
     specs = [
         pl.BlockSpec((bm, k), lambda i, j: (i, 0)),
         pl.BlockSpec((1, 2, k), lambda i, j: (i // rows_per_img, 0, 0)),
+        pl.BlockSpec((k, bn), lambda i, j: (0, j)),
+        pl.BlockSpec((1, bn), lambda i, j: (0, j)),
     ]
-    inputs.append(w)
-    specs.append(pl.BlockSpec((k, bn), lambda i, j: (0, j)))
-    inputs.append(b.reshape(1, n))
-    specs.append(pl.BlockSpec((1, bn), lambda i, j: (0, j)))
-    if has_res:
-        inputs.append(res2)
-        specs.append(pl.BlockSpec((bm, bn), lambda i, j: (i, j)))
-
     return pl.pallas_call(
-        _make_gn_kernel(has_res),
+        _gn_mm_kernel,
         grid=grid,
         in_specs=specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
@@ -325,7 +312,7 @@ def _gn_mm(gamma, beta, x, w, b, num_groups, eps):
     ss = gn_scale_shift({"scale": gamma, "bias": beta}, x,
                         num_groups=num_groups, eps=eps)
     out = _gn_mm_call(x.reshape(bsz * s, k), ss, w.astype(x.dtype),
-                      b.astype(jnp.float32), None, s=s)
+                      b.astype(jnp.float32), s=s)
     return out.reshape(*x.shape[:-1], w.shape[1])
 
 
@@ -389,7 +376,7 @@ def _make_q_kernel(has_ln: bool, has_res: bool, eps: float):
 def _q_plan(m: int, k: int, n: int, itemsize: int):
     budget = 13 * 1024 * 1024
     for bn in (n, 2048, 1024, 512, 256, 128):
-        if bn > n or n % bn:
+        if bn > n or n % bn or (bn != n and bn % 128):
             continue
         for bm in (512, 256, 128):
             if bm > m or m % bm:
@@ -403,13 +390,18 @@ def _q_plan(m: int, k: int, n: int, itemsize: int):
     return 0, 0
 
 
+def q_fused_enabled() -> bool:
+    """SD_TPU_Q_FUSED=0 reverts every fused-W8A8 site (here AND ops/ffn.py)
+    to the XLA int8 dots — safety hatch: the in-kernel f32->int8 quantize is
+    the one Mosaic pattern the earlier int8 conv kernel did not already
+    prove on-chip."""
+    return os.environ.get("SD_TPU_Q_FUSED", "1") != "0"
+
+
 def q_supported(m: int, k: int, n: int, itemsize: int = 2) -> bool:
-    # SD_TPU_Q_FUSED=0 reverts the W8A8 sites to the XLA int8 dots (safety
-    # hatch: the in-kernel f32->int8 quantize is the one Mosaic pattern the
-    # earlier int8 conv kernel did not already prove on-chip)
-    if os.environ.get("SD_TPU_Q_FUSED", "1") == "0":
+    if not q_fused_enabled():
         return False
-    if m % 128 or n % 128 or k % 32:
+    if m % 128 or n % 8 or k % 32:
         return False
     return _q_plan(m, k, n, itemsize) != (0, 0)
 
@@ -571,9 +563,15 @@ def gn_matmul(gn_params, x, w, b=None, *, num_groups: int = 32,
             b = jnp.zeros((w.shape[1],), jnp.float32)
         return _gn_mm(gn_params["scale"], gn_params["bias"], x, w, b,
                       num_groups, eps)
-    y = _gn_mm_xla(gn_params["scale"], gn_params["bias"], x,
-                   w, b if b is not None else jnp.zeros((w.shape[1],), x.dtype),
-                   num_groups, eps)
+    # fallback keeps the Pallas streaming-GN stats kernel (group_norm_silu)
+    # on TPU instead of regressing to the full-f32 XLA group_norm reduction
+    from stable_diffusion_tpu.ops.groupnorm import group_norm_silu
+
+    xn = group_norm_silu(gn_params, x, num_groups=num_groups, eps=eps,
+                         silu=False, impl=impl)
+    y = jnp.dot(xn, w.astype(xn.dtype), preferred_element_type=xn.dtype)
+    if b is not None:
+        y = y + b.astype(xn.dtype)
     return y
 
 

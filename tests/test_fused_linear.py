@@ -35,6 +35,7 @@ def test_ln_matmul_interpret(rng, m, k, n):
 
     x, w, b, res, gamma, beta = _mk(rng, m, k, n)
     ln = {"scale": gamma, "bias": beta}
+    assert fl.supported(m, k, n, 4)  # the kernel, not the XLA fallback
     with pltpu.force_tpu_interpret_mode():
         got = fl.ln_matmul(ln, x, w, b, impl="pallas")
     want = jnp.dot(layers.layer_norm(ln, x), w) + b
@@ -47,6 +48,7 @@ def test_matmul_residual_interpret(rng, m, k, n):
     from jax.experimental.pallas import tpu as pltpu
 
     x, w, b, res, _, _ = _mk(rng, m, k, n)
+    assert fl.supported(m, k, n, 4)  # n=320 rides the single-block plan
     with pltpu.force_tpu_interpret_mode():
         got = fl.matmul_residual(x, w, b, res, impl="pallas")
     want = jnp.dot(x, w) + b + res
@@ -100,6 +102,7 @@ def test_gn_matmul_interpret(rng):
     bb = jnp.asarray(rng.standard_normal((n,)), jnp.float32)
     gn = {"scale": jnp.asarray(rng.standard_normal((c,)), jnp.float32),
           "bias": jnp.asarray(rng.standard_normal((c,)), jnp.float32)}
+    assert fl.gn_supported(b * h * w, h * w, c, n, 4)
     with pltpu.force_tpu_interpret_mode():
         got = fl.gn_matmul(gn, x, wk, bb, eps=1e-6, impl="pallas")
     want = jnp.dot(layers.group_norm(gn, x, eps=1e-6), wk) + bb
