@@ -73,3 +73,27 @@ def test_winograd_gate_and_grads(rng, monkeypatch):
         r = (np.abs(np.asarray(a) - np.asarray(b2)).max()
              / (np.abs(np.asarray(b2)).max() + 1e-9))
         assert r < 2e-5, (name, r)
+
+
+def test_winograd_bf16_error_comparable_to_direct(rng):
+    """bf16 Winograd's deviation from f32 ground truth must stay within ~2x
+    of the direct bf16 conv's own rounding error (the transforms are exact
+    in f32; only the V/U bf16 rounding before the MXU adds noise)."""
+    b, h, w, cin, cout = 1, 16, 16, 128, 128
+    x32 = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.float32)
+    k32 = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.05, jnp.float32)
+    bias = jnp.zeros((cout,), jnp.float32)
+
+    truth = np.asarray(_xla_conv(x32, k32, bias))
+    direct = np.asarray(_xla_conv(
+        x32.astype(jnp.bfloat16), k32.astype(jnp.bfloat16),
+        bias.astype(jnp.bfloat16)), np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        wino = np.asarray(wg.conv3x3_winograd(
+            x32.astype(jnp.bfloat16), k32.astype(jnp.bfloat16),
+            bias.astype(jnp.bfloat16)), np.float32)
+
+    scale = np.abs(truth).max()
+    e_direct = np.abs(direct - truth).max() / scale
+    e_wino = np.abs(wino - truth).max() / scale
+    assert e_wino < 2.5 * max(e_direct, 1e-4), (e_wino, e_direct)
