@@ -108,18 +108,16 @@ def _wino_kernel(xw_hbm, u_ref, b_ref, o_ref, xwin, sem, e_ref, f_ref, *,
         def _prefetch():
             _copy(win + 1, 1 - slot).start()
 
-        # row transform E[k1] = sum_a BT[k1, a] d[a], f32, once per band.
-        # d[a] = rows {2t+a, t<th} stacked -> (th*wt, 4*Cp)
-        d = [
-            jnp.concatenate(
-                [xwin[slot, 2 * t + a] for t in range(th)], axis=0
-            ).astype(jnp.float32)
-            for a in range(4)
-        ]
-        e_ref[0] = d[0] - d[2]
-        e_ref[1] = d[1] + d[2]
-        e_ref[2] = d[2] - d[1]
-        e_ref[3] = d[1] - d[3]
+        # row transform E[k1] = sum_a BT[k1, a] d[a], f32, once per band —
+        # written per tile-row with static offsets (no in-kernel concat;
+        # value-level concatenate has no guaranteed Mosaic lowering)
+        for t in range(th):
+            da = [xwin[slot, 2 * t + a].astype(jnp.float32) for a in range(4)]
+            sl_t = pl.ds(t * wt, wt)
+            e_ref[0, sl_t] = da[0] - da[2]
+            e_ref[1, sl_t] = da[1] + da[2]
+            e_ref[2, sl_t] = da[2] - da[1]
+            e_ref[3, sl_t] = da[1] - da[3]
 
     k1 = k // 4
     k2 = k - k1 * 4
