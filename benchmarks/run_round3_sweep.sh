@@ -9,6 +9,7 @@ date >> $L
 
 # 1. headline configs (capture first)
 timeout 1800 python bench.py >> $L 2>&1                      # b1 txt2img
+SD_TPU_FUSED_MM=0 timeout 1800 python bench.py >> $L 2>&1    # b1 A/B: fused-matmul kernels off
 BENCH_BATCH=4 timeout 1800 python bench.py >> $L 2>&1        # b4
 BENCH_CONFIG=train_step timeout 2400 python bench.py >> $L 2>&1
 BENCH_CONFIG=one_step_b32 timeout 1800 python bench.py >> $L 2>&1

@@ -93,7 +93,16 @@ def _plan(m: int, k: int, n: int, itemsize: int):
     return 0, 0
 
 
+def fused_mm_enabled() -> bool:
+    """SD_TPU_FUSED_MM=0 reverts every bf16 fused-matmul site (LN-matmul,
+    matmul+residual, GN-matmul) to the plain XLA formulation — the A/B
+    hatch for on-chip validation, mirroring SD_TPU_Q_FUSED."""
+    return os.environ.get("SD_TPU_FUSED_MM", "1") != "0"
+
+
 def supported(m: int, k: int, n: int, itemsize: int = 2) -> bool:
+    if not fused_mm_enabled():
+        return False
     if m % 128 or n % 8 or k % 8:
         return False
     return _plan(m, k, n, itemsize) != (0, 0)
@@ -254,6 +263,8 @@ def _gn_plan(m: int, s: int, k: int, n: int, itemsize: int):
 
 
 def gn_supported(m: int, s: int, k: int, n: int, itemsize: int = 2) -> bool:
+    if not fused_mm_enabled():
+        return False
     if m % 128 or n % 8 or k % 8:
         return False
     return _gn_plan(m, s, k, n, itemsize) != (0, 0)

@@ -168,3 +168,20 @@ def test_unsupported_falls_back(rng):
     want = jnp.dot(x, w) + b + res
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fused_mm_env_hatch(rng, monkeypatch):
+    # SD_TPU_FUSED_MM=0 must disable every bf16 fused-matmul support gate
+    monkeypatch.setenv("SD_TPU_FUSED_MM", "0")
+    assert not fl.supported(512, 320, 320)
+    assert not fl.gn_supported(512, 512, 320, 320)
+    # ...and the public entry points still compute correctly via XLA
+    x = jnp.asarray(rng.standard_normal((1, 512, 320)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((320, 320)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((320,)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((1, 512, 320)), jnp.float32)
+    got = fl.matmul_residual(x, w, b, res, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(jnp.dot(x, w) + b + res),
+                               rtol=1e-5, atol=1e-5)
+    monkeypatch.setenv("SD_TPU_FUSED_MM", "1")
+    assert fl.supported(512, 320, 320)
