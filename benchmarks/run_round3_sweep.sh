@@ -2,9 +2,13 @@
 # Round-3 on-chip measurement sweep (run when the axon tunnel is up).
 # Ordered most-important-first in case the tunnel drops mid-sweep.
 # Each step is independently skippable; results append to /tmp/r3_sweep.log.
-set -x
 cd "$(dirname "$0")/.."
 L=/tmp/r3_sweep.log
+# xtrace into the same log so summarize_sweep.py can pair each JSON result
+# with the env that produced it
+exec 19>>$L
+export BASH_XTRACEFD=19
+set -x
 date >> $L
 
 # 1. headline configs (capture first)

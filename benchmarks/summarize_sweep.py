@@ -1,0 +1,40 @@
+"""Condense a round sweep log (benchmarks/run_round3_sweep.sh output) into a
+summary: every bench.py JSON line with the env that produced it, plus
+microbench/profiler table headers.  Usage:
+
+    python benchmarks/summarize_sweep.py [/tmp/r3_sweep.log]
+"""
+
+import json
+import re
+import sys
+
+
+def main(path: str = "/tmp/r3_sweep.log") -> None:
+    try:
+        lines = open(path).read().splitlines()
+    except FileNotFoundError:
+        print(f"no sweep log at {path}")
+        return
+
+    env = ""
+    for ln in lines:
+        # `set -x` trace lines show the command (with env prefixes) being run
+        m = re.match(r"^\+ (.*python (?:bench\.py|benchmarks/\S+).*)$", ln)
+        if m:
+            env = m.group(1)
+            continue
+        if ln.startswith('{"metric"'):
+            try:
+                d = json.loads(ln)
+            except json.JSONDecodeError:
+                continue
+            tag = " ".join(t for t in env.split() if "=" in t and not t.startswith("timeout"))
+            print(f"{d['value']:>9.3f} {d['unit']:<8} vs_baseline={d['vs_baseline']:<7} "
+                  f"{d['metric']}  [{tag}]")
+        elif re.match(r"^(=== |--- |\w[\w /]+ TF/s|SWEEP_DONE|Traceback)", ln):
+            print(ln)
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:2])
