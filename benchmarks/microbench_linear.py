@@ -12,6 +12,11 @@ import os
 import sys
 import time
 
+# force the bf16 fused-mm kernels dispatchable regardless of the production
+# default (OFF since the round-3 e2e verdict) — this bench exists to
+# re-measure them
+os.environ.setdefault("SD_TPU_FUSED_MM", "all")
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax

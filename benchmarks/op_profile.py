@@ -119,11 +119,16 @@ def report(logdir, iters):
         # the op-level line is the busiest non-module line
         for lname, (tot, line) in sorted(per_line.items(), key=lambda kv: -kv[1][0]):
             print(f"line '{lname}': {tot/1e12*1e3/iters:8.3f} ms/step over {len(line.events)} events")
-        opline = None
-        for lname, (tot, line) in sorted(per_line.items(), key=lambda kv: -kv[1][0]):
-            if "module" not in lname.lower() and "step" not in lname.lower():
-                opline = line
-                break
+        # Prefer the synchronous 'XLA Ops' line: the 'Async XLA Ops' line is
+        # overlapped DMA (copy-start/slice-start prefetches that hide behind
+        # compute), so aggregating it misattributes the step to "copy".
+        opline = per_line.get("XLA Ops", (None, None))[1]
+        if opline is None:
+            for lname, (tot, line) in sorted(per_line.items(), key=lambda kv: -kv[1][0]):
+                if ("module" not in lname.lower() and "step" not in lname.lower()
+                        and "async" not in lname.lower()):
+                    opline = line
+                    break
         if opline is None:
             continue
         agg, total = {}, 0.0

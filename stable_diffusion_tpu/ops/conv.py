@@ -493,9 +493,12 @@ def _xla_conv(x, kernel, bias):
 
 
 def _dx_via_forward() -> bool:
-    """A/B gate for the split backward: SD_TPU_CONV_BWD=xla reverts dx to the
-    XLA transposed-conv vjp (benchmarks/profile_train.py comparisons)."""
-    return os.environ.get("SD_TPU_CONV_BWD", "auto") != "xla"
+    """A/B gate for the split backward: SD_TPU_CONV_BWD=pallas routes dx
+    through the forward Pallas/im2col dispatcher.  Default is the XLA
+    transposed-conv vjp — the round-3 on-chip A/B measured the Pallas dx
+    route slightly SLOWER end-to-end (train b4: 4.74 vs 4.82 steps/s with
+    XLA dx), so the simpler path is the default."""
+    return os.environ.get("SD_TPU_CONV_BWD", "xla") == "pallas"
 
 
 def _dx_conv(kernel, g):

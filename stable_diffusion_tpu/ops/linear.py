@@ -94,10 +94,54 @@ def _plan(m: int, k: int, n: int, itemsize: int):
 
 
 def fused_mm_enabled() -> bool:
-    """SD_TPU_FUSED_MM=0 reverts every bf16 fused-matmul site (LN-matmul,
-    matmul+residual, GN-matmul) to the plain XLA formulation — the A/B
-    hatch for on-chip validation, mirroring SD_TPU_Q_FUSED."""
-    return os.environ.get("SD_TPU_FUSED_MM", "1") != "0"
+    """bf16 fused-matmul dispatch mode (SD_TPU_FUSED_MM):
+
+    - "0" (DEFAULT): every bf16 fused-mm site (LN-matmul, matmul+residual,
+      GN-matmul) uses the plain XLA formulation.
+    - "envelope": only sites inside the standalone-measured win envelope
+      (see _site_wins).
+    - "all"/"1": every geometrically feasible site.
+
+    Round-3 on-chip verdict (why the default is OFF): the e2e A/B measured
+    all-sites-on a clear NET LOSS (txt2img b1 0.955 vs 1.026 img/s XLA-only;
+    one-step b32 12.1 vs 14.2), and the refined envelope bought nothing
+    beyond run noise (b1 1.016, b4 1.103 — equal to XLA-only).  XLA already
+    fuses LN/residual elementwise into its dots; the Pallas win shows up
+    standalone (microbench_linear.py: 2.4x on the n=320 out-projection) but
+    is erased in-program by layout transitions at the custom-call
+    boundaries.  The kernels stay for re-measurement on future
+    toolchains/topologies.
+
+    The W8A8 fused variants are NOT gated by this — they won on-chip
+    (e2e b4 static 1.208 fused vs 1.152 unfused; SD_TPU_Q_FUSED hatch).
+    """
+    return os.environ.get("SD_TPU_FUSED_MM", "0") != "0"
+
+
+def _site_wins(site: str, m: int, k: int, n: int) -> bool:
+    """Standalone-measured bf16 win envelope per fusion site (round-3
+    benchmarks/microbench_linear.py chained differentials; used only under
+    SD_TPU_FUSED_MM=envelope — see fused_mm_enabled for the e2e verdict):
+
+    - ln_qkv (LN prologue): XLA wins at every honest data point (b8 s4096
+      c320: XLA 0.091 ms vs kernel 0.321) — always off.
+    - matmul+residual: kernel wins standalone on narrow outputs (n=320:
+      0.020 vs 0.049 ms at m=8192; 0.086 vs 0.107 at m=32768) and on
+      small-M/large-K 1x1 convs (m=128, k=2048, n=1280: 0.005 vs 0.008);
+      loses mid-stage (m=2048, k=1024, n=640: 0.049 vs 0.014).
+    - gn_matmul: wins only at the deep stage (m=512, k=n=1280: 0.012 vs
+      0.023 ms).
+    """
+    mode = os.environ.get("SD_TPU_FUSED_MM", "0")
+    if mode in ("all", "1"):
+        return True
+    if site == "ln":
+        return False
+    if site == "res":
+        return n <= 384 or (m <= 512 and k >= 2048)
+    if site == "gn":
+        return k >= 1280
+    return True
 
 
 def supported(m: int, k: int, n: int, itemsize: int = 2) -> bool:
@@ -569,7 +613,8 @@ def gn_matmul(gn_params, x, w, b=None, *, num_groups: int = 32,
     for d in x.shape[1:-1]:
         s *= d
     if (_want_kernel(impl) and k % num_groups == 0
-            and gn_supported(bsz * s, s, k, w.shape[1], x.dtype.itemsize)):
+            and gn_supported(bsz * s, s, k, w.shape[1], x.dtype.itemsize)
+            and (impl != "auto" or _site_wins("gn", bsz * s, k, w.shape[1]))):
         if b is None:
             b = jnp.zeros((w.shape[1],), jnp.float32)
         return _gn_mm(gn_params["scale"], gn_params["bias"], x, w, b,
@@ -595,8 +640,10 @@ def ln_matmul(ln_params, x, w, b=None, *, eps: float = 1e-5,
     m = 1
     for d in x.shape[:-1]:
         m *= d
-    if _want_kernel(impl) and supported(
-            m, x.shape[-1], w.shape[1], x.dtype.itemsize):
+    if (_want_kernel(impl) and supported(
+            m, x.shape[-1], w.shape[1], x.dtype.itemsize)
+            and (impl != "auto"
+                 or _site_wins("ln", m, x.shape[-1], w.shape[1]))):
         if b is None:
             b = jnp.zeros((w.shape[1],), jnp.float32)
         return _ln_mm(x, ln_params["scale"], ln_params["bias"], w, b, eps)
@@ -608,8 +655,10 @@ def matmul_residual(x, w, b, res, *, impl: str = "auto"):
     m = 1
     for d in x.shape[:-1]:
         m *= d
-    if _want_kernel(impl) and supported(
-            m, x.shape[-1], w.shape[1], x.dtype.itemsize):
+    if (_want_kernel(impl) and supported(
+            m, x.shape[-1], w.shape[1], x.dtype.itemsize)
+            and (impl != "auto"
+                 or _site_wins("res", m, x.shape[-1], w.shape[1]))):
         if b is None:
             b = jnp.zeros((w.shape[1],), jnp.float32)
         return _mm_res(x, w, b, res)

@@ -5,10 +5,16 @@ formulation (models/layers.layer_norm + dot + adds); gradients go through
 the recompute VJP and must match jax.grad of the XLA composite.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+# the production default is OFF (round-3 e2e verdict, ops/linear.py) — these
+# tests exist to keep the kernels themselves correct for re-measurement
+os.environ.setdefault("SD_TPU_FUSED_MM", "all")
 
 from stable_diffusion_tpu.models import layers
 from stable_diffusion_tpu.ops import linear as fl
