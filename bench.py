@@ -199,7 +199,12 @@ def bench_train_step(repeats):
     from stable_diffusion_tpu.models import vae as vae_m
 
     pipe = build_pipeline("1.5")
-    remat = os.environ.get("BENCH_TRAIN_REMAT", "1") != "0"
+    # remat is a memory knob, not workload semantics: b4 512x512 fits v5e
+    # HBM without it and runs +17% faster (round-3 A/B: 5.56 vs 4.83
+    # steps/s), so the bench default is off; BENCH_TRAIN_REMAT=1 restores
+    # the checkpointed step (required for bigger per-chip batches/meshes,
+    # and still covered by tests/test_parallel_training.py).
+    remat = os.environ.get("BENCH_TRAIN_REMAT", "0") != "0"
     cfg = T.TrainConfig(rank=128, alpha=128.0, use_ema=True,
                         gradient_checkpointing=remat, grad_accum_steps=2,
                         lora_targets=("q_proj", "k_proj", "v_proj", "out_proj"))

@@ -18,12 +18,22 @@ def main(path: str = "/tmp/r3_sweep.log") -> None:
         return
 
     env = ""
+    pending: list = []
     for ln in lines:
-        # `set -x` trace lines show the command (with env prefixes) being run
+        # bash xtrace prints each env prefix of a command on its OWN line
+        # (`+ SD_TPU_FUSED_MM=0`) before the `+ timeout ... python ...` line —
+        # accumulate them until the command line arrives
+        m = re.match(r"^\+ (\w+=\S*)$", ln)
+        if m:
+            pending.append(m.group(1))
+            continue
         m = re.match(r"^\+ (.*python (?:bench\.py|benchmarks/\S+).*)$", ln)
         if m:
-            env = m.group(1)
+            env = " ".join(pending + [m.group(1)])
+            pending = []
             continue
+        if ln.startswith("+ "):
+            pending = []
         if ln.startswith('{"metric"'):
             try:
                 d = json.loads(ln)
