@@ -155,8 +155,16 @@ def main():
 
         p = dict(params)
         p["unet"] = QM.quantize_convs(QM.quantize_params(cal))
-        lat, img = run_mode(make_pipe(p, ucfg, tcfg, vcfg), cond, unc)
+        pq = make_pipe(p, ucfg, tcfg, vcfg)
+        lat, img = run_mode(pq, cond, unc)
         stats("w8a8-full", lat, img, lat0, img0)
+
+        # the composed serving mode (the >= 1.5 img/s configuration:
+        # W8A8-full + DeepCache) — its quality delta must be accounted
+        # against the exact path, not assumed additive
+        for k in (2, 3):
+            lat, img = run_mode(pq, cond, unc, deepcache=k)
+            stats(f"w8a8-full+dc k={k}", lat, img, lat0, img0)
 
 
 if __name__ == "__main__":

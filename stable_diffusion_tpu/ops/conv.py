@@ -180,7 +180,8 @@ LARGE_MIN_CHANNELS = 128
 LARGE_MAX_BATCH = 2
 
 
-def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
+def supported(x: jax.Array, kernel: jax.Array, stride: int, padding,
+              max_batch: int | None = None) -> bool:
     if x.ndim != 4 or kernel.shape[:2] != (3, 3) or stride != 1:
         return False
     if padding not in ("SAME", 1, ((1, 1), (1, 1))):
@@ -204,7 +205,8 @@ def supported(x: jax.Array, kernel: jax.Array, stride: int, padding) -> bool:
     # at batch >= 8 (serving/one-step configs) XLA wins in-program too, and
     # bandwidth-bound large-spatial/small-C VAE shapes (256^2+) stay XLA.
     small = (MIN_AREA <= h * w <= MAX_AREA and c >= MIN_CHANNELS
-             and b <= MAX_KERNEL_BATCH)
+             and b <= (max_batch if max_batch is not None
+                       else MAX_KERNEL_BATCH))
     # VAE encoder/decoder large-spatial shapes (128^2..768^2, C 128..512):
     # measured 2.3x on the full 512^2 decode (microbench_vae_decode.py).
     # cout >= 128 keeps the tiny-N output head (128->3) on XLA, where a
@@ -414,10 +416,28 @@ def _conv3x3_q_call(x3, w3, scales, bias, *, bh, bn, kc, h, out_dtype):
     )(x3, w3, scales, bias)
 
 
+# int8 halves the im2col DMA bytes, so the serving-batch trade differs from
+# bf16: measured (microbench_conv_batch.py main_int8, round 3) the int8
+# kernel beats the XLA bf16 dequantized conv at model batch 8 (64^2 c320
+# 1.19 vs 1.28 ms; 32^2 c640 1.07 vs 1.20); at batch >= 16 the 64^2 stage
+# ties/loses (b16: 1.675 vs 1.660) while the 32^2 stage keeps winning at
+# b32 (1.84 vs 2.15, +17%).  The quant envelope therefore admits batch <= 8
+# everywhere and batch <= 32 for the small-area (<= 32^2) stages.
+# (In-program confirmation: full-W8A8 b4 txt2img 1.216 -> 1.246 img/s.)
+MAX_QUANT_BATCH = 8
+MAX_QUANT_BATCH_SMALL = 32
+QUANT_SMALL_AREA = 1024
+
+
 def quant_supported(x, kernel_q, stride: int, padding) -> bool:
-    """W8A8 kernel coverage: the bf16 envelope plus int8 tiling constraints
-    (sublane dim = W must be a multiple of 32 for the (32, 128) int8 tile)."""
-    if not supported(x, kernel_q, stride, padding):
+    """W8A8 kernel coverage: the bf16 envelope (with its own batch caps, see
+    MAX_QUANT_BATCH*) plus int8 tiling constraints (sublane dim = W must be
+    a multiple of 32 for the (32, 128) int8 tile)."""
+    cap = (MAX_QUANT_BATCH_SMALL
+           if x.shape[1] * x.shape[2] <= QUANT_SMALL_AREA
+           else MAX_QUANT_BATCH)
+    if not supported(x, kernel_q, stride, padding,
+                     max_batch=max(cap, MAX_KERNEL_BATCH)):
         return False
     return x.shape[2] % 32 == 0
 
