@@ -134,6 +134,11 @@ def report(logdir, iters):
         agg, total = {}, 0.0
         for e in opline.events:
             name = meta.get(e.metadata_id, "?")
+            # control-flow wrappers (while/conditional/call) report the TOTAL
+            # time of their body, which is also reported per-op — skip them
+            # or every bucket percentage is diluted ~2x by the denoise scan
+            if name.lstrip("%").startswith(("while", "conditional", "call")):
+                continue
             d = e.duration_ps / 1e12  # seconds
             cat = _category(name)
             a = agg.setdefault(cat, [0.0, {}])
