@@ -53,7 +53,44 @@ def _pick_blocks(seq: int, width: int, itemsize: int = 2):
         bq, bk = 256, 512
     else:
         bq, bk = 256, 256
-    return min(bq, seq), min(bk, seq)
+    if seq > 4096:
+        # Long sequences (SD2.1 768^2: s=9216): the default bk leaves the
+        # online kernel VPU-bound on per-block rescaling and narrow-N QK
+        # dots (measured 66.6 TF/s at s=9216 w=384 vs 77.9 retuned).  Take
+        # the largest 128-multiple kv block dividing seq whose double-
+        # buffered K+V blocks plus the f32 (bq, bk) logits slab stay under
+        # ~12 MB (bk=4608/w384 at 19.2 MiB scoped OOM'd the 16 MiB limit);
+        # the <=4096 shapes keep their measured defaults.
+        per_bk = 4 * width * itemsize + 4 * bq
+        best = bk
+        for cand in range(128, seq + 1, 128):
+            if seq % cand == 0 and cand * per_bk <= 12_000_000:
+                best = max(best, cand)
+        bk = best
+    bq, bk = min(bq, seq), min(bk, seq)
+    # the grid requires seq % block == 0 (e.g. s=2304 with the 512/1024
+    # defaults); halve down to the largest dividing block
+    while bq > 128 and seq % bq:
+        bq //= 2
+    while bk > 128 and seq % bk:
+        bk //= 2
+    return bq, bk
+
+
+def _single_bq(s: int, w: int, itemsize: int) -> int:
+    """The q-block size the single-pass (resident-KV) kernel would use for
+    (s, w), or 0 when the shape doesn't fit its VMEM budget.  Measured
+    envelope entries (_SINGLE_PASS_BQ) take precedence over the analytic
+    fit model."""
+    if itemsize == 2:
+        hit = _SINGLE_PASS_BQ.get((s, w))
+        if hit is not None:
+            return hit
+    for bq in (256, 128, 64):
+        bq = min(bq, s)
+        if s % bq == 0 and _fits_single_pass(s, w, itemsize, bq):
+            return bq
+    return 0
 
 
 def supported(q: jax.Array, k: jax.Array) -> bool:
@@ -65,10 +102,17 @@ def supported(q: jax.Array, k: jax.Array) -> bool:
     if sq != sk:
         return False  # cross-attn handled by cross_supported / flash_cross
     dp = _padded_dim(d)
-    if dp == 0:
+    if dp == 0 or sq < 128:
         return False
-    bq, bk = _pick_blocks(sq, h * dp, q.dtype.itemsize)
-    return sq % bq == 0 and sk % bk == 0 and sq >= 128
+    w = (h * dp + 127) // 128 * 128
+    # covered by either route: single-pass (resident KV) when it fits VMEM —
+    # e.g. s=2304 w=640, which the online divisibility test alone would
+    # reject (2304 % 512 != 0) — otherwise the online kernel's blocks must
+    # divide the sequence
+    if _single_bq(sq, w, q.dtype.itemsize):
+        return True
+    bq, bk = _pick_blocks(sq, w, q.dtype.itemsize)
+    return sq % bq == 0 and sk % bk == 0
 
 
 def cross_supported(q: jax.Array, k: jax.Array) -> bool:
@@ -128,11 +172,14 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref, *,
             o_ref[0, :, sl] = (acc_new / l_new).astype(o_ref.dtype)
 
 
-def _flash_merged_online(q, k, v, *, scale: float, num_heads: int, head_dim: int):
+def _flash_merged_online(q, k, v, *, scale: float, num_heads: int, head_dim: int,
+                         bq: int | None = None, bk: int | None = None):
     """Online-softmax path (kv-blocked) for sequences whose full K/V exceed
-    the VMEM budget.  q, k, v: (B, S, H*Dp) -> (B, S, H*Dp)."""
+    the VMEM budget.  q, k, v: (B, S, H*Dp) -> (B, S, H*Dp).  bq/bk overrides
+    are for microbenching block choices (benchmarks/microbench_attn_long.py)."""
     b, s, w = q.shape
-    bq, bk = _pick_blocks(s, w, q.dtype.itemsize)
+    bq0, bk0 = _pick_blocks(s, w, q.dtype.itemsize)
+    bq, bk = bq or bq0, bk or bk0
     grid = (b, s // bq, s // bk)
     kernel = functools.partial(
         _flash_kernel, scale=scale, num_heads=num_heads, head_dim=head_dim
@@ -211,6 +258,20 @@ def _fits_single_pass(s: int, w: int, itemsize: int, bq: int) -> bool:
     return kv + row + bufs < _VMEM_BUDGET
 
 
+# Measured single-pass envelope (benchmarks/probe_single_pass.py, v5e, bf16):
+# the largest q block that actually COMPILES for the given (seq, merged
+# width).  Mosaic's per-head temporary liveness is scheduling-dependent, so
+# the analytic model above over-admits in a shape-dependent way — e.g.
+# s=2304/w=640/bq=256 models 15.0 MiB but compiles at 18.95 MiB scoped
+# (VMEM OOM), while s=4096/w=512/bq=128 models 15.2 MiB and fits.  A 0
+# entry means no block size compiles or single-pass measured slower than
+# the online/XLA routes; unlisted shapes use the analytic model.
+_SINGLE_PASS_BQ: dict[tuple[int, int], int] = {
+    (2304, 640): 128,  # SD2.1 48^2: 0.390 ms (69.6 TF/s) vs XLA 1.169 / online 1.96
+    (576, 1280): 0,    # SD2.1 24^2: XLA wins (0.034 ms, 100.7 TF/s) vs single 0.052
+}
+
+
 def _flash_merged_single(q, k, v, *, scale: float, num_heads: int, head_dim: int, bq: int):
     b, s, w = q.shape
     grid = (b, s // bq)
@@ -245,12 +306,11 @@ def _flash_merged_single(q, k, v, *, scale: float, num_heads: int, head_dim: int
 def _flash_merged(q, k, v, *, scale: float, num_heads: int, head_dim: int):
     """q, k, v: (B, S, H*Dp) -> (B, S, H*Dp)."""
     b, s, w = q.shape
-    for bq in (256, 128, 64):
-        bq = min(bq, s)
-        if s % bq == 0 and _fits_single_pass(s, w, q.dtype.itemsize, bq):
-            return _flash_merged_single(
-                q, k, v, scale=scale, num_heads=num_heads, head_dim=head_dim, bq=bq
-            )
+    bq = _single_bq(s, w, q.dtype.itemsize)
+    if bq:
+        return _flash_merged_single(
+            q, k, v, scale=scale, num_heads=num_heads, head_dim=head_dim, bq=bq
+        )
     return _flash_merged_online(q, k, v, scale=scale, num_heads=num_heads, head_dim=head_dim)
 
 
@@ -450,10 +510,12 @@ def premerged_width(num_heads: int, d: int) -> int:
 def premerged_self_supported(b: int, s: int, num_heads: int, d: int,
                              itemsize: int = 2) -> bool:
     w = premerged_width(num_heads, d)
-    if w == 0:
+    if w == 0 or s < 128:
         return False
+    if _single_bq(s, w, itemsize):
+        return True
     bq, bk = _pick_blocks(s, w, itemsize)
-    return s % bq == 0 and s % bk == 0 and s >= 128
+    return s % bq == 0 and s % bk == 0
 
 
 def premerged_cross_supported(b, sq, sk, num_heads: int, d: int) -> bool:
