@@ -106,6 +106,11 @@ def bench_sd15_txt2img(repeats, steps=50, batch=1):
     # BENCH_DEEPCACHE=k enables the (approximate) DeepCache block-caching
     # mode; the headline metric stays exact (k=1)
     deepcache = int(os.environ.get("BENCH_DEEPCACHE", "1"))
+    # batch > 1 is the serving-throughput mode: steady-state pipelined
+    # dispatch (fetch of batch k overlaps compute of batch k+1).  The
+    # headline b1 config stays sequential dispatch-then-fetch (latency
+    # semantics).  BENCH_PIPELINED overrides either default.
+    pipelined = os.environ.get("BENCH_PIPELINED", "1" if batch > 1 else "0") != "0"
 
     def run(seed):
         return pipe.generate(
@@ -113,9 +118,10 @@ def bench_sd15_txt2img(repeats, steps=50, batch=1):
             sampler="ddim", img_size=(512, 512), batch_size=batch,
             cond_ids=cond, uncond_ids=unc, seed=seed,
             deepcache_interval=deepcache, output_dtype="uint8",
+            device_output=pipelined,
         )
 
-    dt = _timed(run, repeats)
+    dt = _timed_pipelined(run, repeats) if pipelined else _timed(run, repeats)
     return {
         "metric": "sd15 txt2img 512x512 DDIM-50 CFG7.5 imgs/sec/chip",
         "value": round(batch / dt, 4),
@@ -131,6 +137,9 @@ def bench_sd15_img2img(repeats):
     cond = np.zeros((batch, 77), np.int64)
     unc = np.ones((batch, 77), np.int64)
     lat = np.random.default_rng(0).standard_normal((batch, 64, 64, 4), np.float32)
+    # batch-4 serving config: steady-state pipelined by default (see
+    # bench_sd15_txt2img); BENCH_PIPELINED=0 restores sequential timing
+    pipelined = os.environ.get("BENCH_PIPELINED", "1") != "0"
 
     def run(seed):
         return pipe.generate(
@@ -138,10 +147,10 @@ def bench_sd15_img2img(repeats):
             sampler="ddpm", use_cosine_schedule=True, strength=0.8,
             img_size=(512, 512), batch_size=batch, cond_ids=cond,
             uncond_ids=unc, seed=seed, input_latents=lat,
-            output_dtype="uint8",
+            output_dtype="uint8", device_output=pipelined,
         )
 
-    dt = _timed(run, repeats)
+    dt = _timed_pipelined(run, repeats) if pipelined else _timed(run, repeats)
     return {
         "metric": "sd15 img2img 512x512 DDPM-cosine s0.8 b4 imgs/sec/chip",
         "value": round(batch / dt, 4), "unit": "img/s",
@@ -171,18 +180,47 @@ def bench_sd21_txt2img_768(repeats):
     }
 
 
+def _timed_pipelined(dispatch, repeats):
+    """Steady-state serving throughput: dispatch batch k+1 BEFORE fetching
+    batch k, so the host transfer of a finished batch overlaps the next
+    batch's device compute.  ``dispatch`` must return an UNFETCHED jax.Array
+    (pipeline device_output=True, lane-packed (b, h, w*3)).  Measured on
+    config 5: the sequential NHWC fetch cost ~1.5 s per 25 MB uint8 batch on
+    the axon relay; lane-packing cuts it 3.3x and pipelining overlaps most
+    of the rest (benchmarks/probe_fetch_overlap.py, probe_fetch_shapes.py)."""
+    from stable_diffusion_tpu.pipeline import _unpack_images
+
+    _unpack_images(dispatch(0))  # warmup + compile
+    prev = dispatch(1)
+    t0 = time.perf_counter()
+    for i in range(repeats):
+        cur = dispatch(i + 2)
+        out = _unpack_images(prev)
+        prev = cur
+    dt = (time.perf_counter() - t0) / repeats
+    _unpack_images(prev)
+    assert np.all(np.isfinite(out.astype(np.float32)))
+    return dt
+
+
 def bench_one_step_b32(repeats):
-    """BASELINE config 5: SwiftBrush one-step generation, batch 32."""
+    """BASELINE config 5: SwiftBrush one-step generation, batch 32.
+
+    This is the explicit serving-throughput config (BASELINE.md), so the
+    default measurement is the steady-state pipelined loop (next batch
+    dispatched before the previous batch's host fetch).  BENCH_PIPELINED=0
+    restores the round-2 sequential dispatch-then-fetch semantics."""
     pipe = build_pipeline("1.5")
     cond = np.zeros((1, 77), np.int64)
+    pipelined = os.environ.get("BENCH_PIPELINED", "1") != "0"
 
     def run(seed):
         return pipe.generate_in_one_step(
             prompt="", img_size=(512, 512), batch_size=32, cond_ids=cond,
-            seed=seed, output_dtype="uint8",
+            seed=seed, output_dtype="uint8", device_output=pipelined,
         )
 
-    dt = _timed(run, repeats)
+    dt = _timed_pipelined(run, repeats) if pipelined else _timed(run, repeats)
     return {
         "metric": "swiftbrush one-step 512x512 b32 imgs/sec/chip",
         "value": round(32 / dt, 4), "unit": "img/s",

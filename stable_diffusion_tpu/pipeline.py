@@ -72,6 +72,14 @@ def preprocess_image(img, img_size: Tuple[int, int]) -> np.ndarray:
     return arr[None]  # (1, H, W, 3)
 
 
+def _unpack_images(imgs) -> np.ndarray:
+    """Fetch a lane-packed (b, h, w*3) device image batch (_finalize_images)
+    and restore NHWC (b, h, w, 3).  The reshape is free on host."""
+    arr = np.asarray(imgs)
+    b, h, wc = arr.shape
+    return arr.reshape(b, h, wc // 3, 3)
+
+
 def preprocess_mask(mask, img_size: Tuple[int, int]) -> np.ndarray:
     """PIL mask -> bool (1, H/8, W/8, 1): True = regenerate (masked) region
     (reference diffusion.py:352-358: bicubic 1/8 downsample, (0,255)->(0,1),
@@ -235,12 +243,17 @@ class StableDiffusion:
         progress_callback=None,
         progress_every: int = 5,
         output_dtype: str = "float32",
+        device_output: bool = False,
     ) -> np.ndarray:
         """txt2img / img2img (reference diffusion.py:131-257).
 
         Returns images in [0, 1], NHWC float32 — or NHWC uint8 when
         ``output_dtype="uint8"`` (the serving format; 4x less host-transfer
-        on remote-TPU transports).  ``cond_ids``/``uncond_ids``
+        on remote-TPU transports).  ``device_output=True`` returns the
+        jax.Array WITHOUT fetching to host, in the lane-packed (b, h, w*3)
+        transfer layout — a serving loop can dispatch the next batch before
+        fetching this one (overlapping transfer with compute) and restore
+        NHWC with pipeline._unpack_images.  ``cond_ids``/``uncond_ids``
         bypass the tokenizer (for tests); ``input_latents`` bypasses the VAE
         encoder for img2img; ``initial_latents`` injects the txt2img starting
         noise (parity tests — replaces matching torch RNG streams);
@@ -303,7 +316,7 @@ class StableDiffusion:
                 int(deepcache_interval),
                 output_dtype == "uint8",
             )
-            return np.asarray(imgs)
+            return imgs if device_output else _unpack_images(imgs)
 
         # --- fused one-dispatch img2img: encode (or take latents) +
         # q-sample + scan + decode in a single program.  Checked BEFORE
@@ -341,7 +354,7 @@ class StableDiffusion:
                 int(deepcache_interval),
                 output_dtype == "uint8",
             )
-            return np.asarray(imgs)
+            return imgs if device_output else _unpack_images(imgs)
 
         if context is None:
             if do_cfg:
@@ -436,8 +449,12 @@ class StableDiffusion:
         batch_size: int = 1,
         cond_ids=None,
         output_dtype: str = "float32",
+        device_output: bool = False,
     ) -> np.ndarray:
-        """SwiftBrush one-step generation (reference diffusion.py:57-129)."""
+        """SwiftBrush one-step generation (reference diffusion.py:57-129).
+
+        ``device_output=True`` skips the host fetch and returns the
+        lane-packed (b, h, w*3) array (see generate())."""
         h, w = img_size
         lat_shape = (batch_size, h // 8, w // 8, 4)
         key = jax.random.key(seed)
@@ -448,7 +465,7 @@ class StableDiffusion:
             self.unet_config, self.text_config, self.vae_config, self.impl, self.dtype,
             output_dtype == "uint8",
         )
-        return np.asarray(imgs)
+        return imgs if device_output else _unpack_images(imgs)
 
     def inpaint(
         self,
@@ -559,7 +576,10 @@ class StableDiffusion:
             imgs = _decode_jit(
                 self.params["vae"], latents, self.vae_config, self.impl
             ).astype(jnp.float32)
-        out = scale_img(np.asarray(imgs), (-1.0, 1.0), (0.0, 255.0), clamp=True)
+        arr = np.asarray(imgs)
+        if arr.ndim == 3:  # lane-packed (b, h, w*3) from _inpaint_jit
+            arr = arr.reshape(arr.shape[0], arr.shape[1], -1, 3)
+        out = scale_img(arr, (-1.0, 1.0), (0.0, 255.0), clamp=True)
         return out[0].astype(np.uint8)
 
     # ------------------------------------------------------------------
@@ -635,11 +655,18 @@ def _sampler_step(table, lat, t, pt, eps_hat, key, sampler, prediction_type, eta
 
 def _finalize_images(imgs, out_u8: bool):
     """[-1,1] model output -> [0,1] f32, or uint8 (the serving format: a
-    512^2 u8 image is 4x smaller over remote-TPU transports than f32)."""
+    512^2 u8 image is 4x smaller over remote-TPU transports than f32).
+
+    Returns images LANE-PACKED as (b, h, w*3): TPU tiles the trailing two
+    dims ((32,128) for u8), so a trailing dim of 3 is lane-padded 3->128 and
+    a device->host fetch of NHWC images moves at ~14 MB/s on the relay vs
+    ~47 MB/s packed (benchmarks/probe_fetch_shapes.py — 3.3x).  Host callers
+    reshape back to (b, h, w, 3) after the fetch, which is free in numpy."""
     x = (imgs.astype(jnp.float32) + 1.0) / 2.0
     if out_u8:
-        return jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
-    return x
+        x = jnp.round(jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w * c)
 
 
 @functools.partial(jax.jit, static_argnums=tuple(range(8, 20)))
@@ -776,7 +803,8 @@ def _inpaint_jit(
 ):
     """Whole inpaint as one program: VAE encode -> q-sample at ts[0] ->
     mask-blend noise into the masked region -> blended scan -> decode
-    (reference diffusion.py:344-417).  Returns images in [-1, 1]."""
+    (reference diffusion.py:344-417).  Returns images in [-1, 1],
+    lane-packed as (b, h, w*3) for the host fetch."""
     k_enc, k_lat, k_mask, k_steps = jax.random.split(key, 4)
     enc_noise = jax.random.normal(k_enc, lat_shape, dtype)
     encoded_img, _, _ = vae_m.encode(params["vae"], img, vcfg, noise=enc_noise, impl=impl)
@@ -788,7 +816,10 @@ def _inpaint_jit(
         params["unet"], latents, encoded_img, mask, context, ts, prev_ts, table,
         cfg_scale, k_steps, ucfg, do_cfg, sampler, prediction_type, impl,
     )
-    return vae_m.decode(params["vae"], latents, vcfg, impl=impl).astype(jnp.float32)
+    imgs = vae_m.decode(params["vae"], latents, vcfg, impl=impl).astype(jnp.float32)
+    # lane-pack (b, h, w*3) for the host fetch (see _finalize_images)
+    b, h, w, c = imgs.shape
+    return imgs.reshape(b, h, w * c)
 
 
 def _inpaint_denoise_scan(
