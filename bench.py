@@ -159,17 +159,21 @@ def bench_sd15_img2img(repeats):
 
 
 def bench_sd21_txt2img_768(repeats):
-    """BASELINE config 3: SD2.1, v-prediction, 768x768, DDIM 50."""
-    pipe = build_pipeline("2.1")
+    """BASELINE config 3: SD2.1, v-prediction, 768x768, DDIM 50.
+
+    BENCH_DEEPCACHE=k / BENCH_INT8 compose like config 1 (the exact path
+    stays the headline)."""
+    pipe = build_pipeline("2.1", int8=os.environ.get("BENCH_INT8", ""))
     cond = np.zeros((1, 77), np.int64)
     unc = np.ones((1, 77), np.int64)
+    deepcache = int(os.environ.get("BENCH_DEEPCACHE", "1"))
 
     def run(seed):
         return pipe.generate(
             prompt="", do_cfg=True, cfg_scale=7.5, inference_steps=50,
             sampler="ddim", img_size=(768, 768), batch_size=1,
             cond_ids=cond, uncond_ids=unc, seed=seed,
-            output_dtype="uint8",
+            deepcache_interval=deepcache, output_dtype="uint8",
         )
 
     dt = _timed(run, repeats)
