@@ -145,6 +145,31 @@ def test_generate_uint8_output_matches_float(tiny):
     assert np.max(np.abs(u.astype(np.int16) - want.astype(np.int16))) <= 1
 
 
+def test_device_output_lane_packed(tiny):
+    """device_output=True (serving pipelining) returns the UNFETCHED
+    lane-packed (b, h, w*3) array; _unpack_images restores the exact host
+    path (pipeline._finalize_images transfer layout)."""
+    import jax
+
+    from stable_diffusion_tpu.pipeline import _unpack_images
+
+    pipe, _, _ = tiny
+    kw = dict(prompt="", do_cfg=False, inference_steps=2, sampler="ddim",
+              img_size=(64, 64), cond_ids=np.zeros((1, 77), np.int64), seed=5,
+              output_dtype="uint8")
+    host = pipe.generate(**kw)
+    dev = pipe.generate(**kw, device_output=True)
+    assert isinstance(dev, jax.Array) and dev.shape == (1, 64, 64 * 3)
+    assert np.array_equal(_unpack_images(dev), host)
+    # one-step path shares the contract
+    kw1 = dict(prompt="", img_size=(64, 64), batch_size=2,
+               cond_ids=np.zeros((1, 77), np.int64), output_dtype="uint8")
+    host1 = pipe.generate_in_one_step(**kw1)
+    dev1 = pipe.generate_in_one_step(**kw1, device_output=True)
+    assert dev1.shape == (2, 64, 64 * 3)
+    assert np.array_equal(_unpack_images(dev1), host1)
+
+
 def test_one_step_generation(tiny):
     pipe, m, text = tiny
     imgs = pipe.generate_in_one_step(
