@@ -3,10 +3,17 @@
 Default (what the driver runs): config 1 — SD 1.5 txt2img, 512x512, DDIM-50,
 CFG 7.5, batch 1, end-to-end (text encode -> scan denoise -> VAE decode) as a
 single device program, bf16, full-size random-init models (perf is
-weight-independent).  Prints ONE JSON line
+weight-independent).  Prints a JSON line
 {"metric", "value", "unit", "vs_baseline"}; vs_baseline = measured / the
 1.5 img/s/chip north-star target (the reference publishes no numbers —
 BASELINE.md).
+
+With BENCH_SERVING_EXTRA (the default for the headline config) the
+successful path prints TWO JSON lines: the exact-path headline first, then a
+combined record that repeats the headline fields plus serving_approx_*
+fields for the APPROXIMATE deployed config (b4 W8A8 + DeepCache k=2 — NOT
+the north-star config, which is exact b1).  Tail line wins: consumers should
+parse the LAST line (BASELINE.md documents the convention).
 
 Other BASELINE configs via BENCH_CONFIG:
   sd15_txt2img (default) | sd15_img2img | sd21_txt2img_768 |
@@ -36,6 +43,7 @@ PREV_ROUND = {
     "sd21_txt2img_768": 0.404, # img/s, round-3 config 3
     "one_step_b32": 28.65,     # img/s, round-3 config 5 (pipelined)
     "train_step": 5.564,       # steps/s, round-3 config 4 (remat off)
+    "serving_extra": 1.644,    # img/s, round-3 b4 W8A8-full + DeepCache k=2
 }
 
 
@@ -356,13 +364,18 @@ def main():
             batch = int(os.environ.get("BENCH_BATCH", "1"))
             result = bench_sd15_txt2img(repeats, steps=steps, batch=batch)
             # The driver records only this default invocation, so ALSO measure
-            # the serving-throughput config (the BASELINE.json north-star unit
-            # is img/s/chip of a DEPLOYED config): batch 4, calibrated-W8A8
+            # the deployed serving config: batch 4, calibrated-W8A8
             # linears+convs, DeepCache k=2 (image-|d| p99 0.064 — quality
-            # table in BASELINE.md), steady-state pipelined dispatch.  The
-            # headline line is printed FIRST so a harness timeout mid-serving
-            # still leaves a parseable record; on success a combined line
-            # (headline + serving_* fields) is printed last and wins tail
+            # table in BASELINE.md), steady-state pipelined dispatch.  That
+            # config is APPROXIMATE (int8 + block caching), so it is NOT the
+            # north-star metric (exact b1, which `vs_baseline` above tracks
+            # and which remains below target on this silicon — see the
+            # exact-path floor table in BASELINE.md); its fields are labeled
+            # serving_approx_* and its ratio is vs the PREVIOUS ROUND's
+            # serving number, not the north star.  The headline line is
+            # printed FIRST so a harness timeout mid-serving still leaves a
+            # parseable record; on success a combined line (headline +
+            # serving_approx_* fields) is printed last and wins tail
             # parsing.  BENCH_SERVING_EXTRA=0 skips (~7 min: int8 rewrite of
             # the params on host + the b4 DeepCache program compile).
             if (batch == 1 and steps == 50
@@ -373,11 +386,13 @@ def main():
                 try:
                     srv = bench_sd15_txt2img(
                         repeats, steps=50, batch=4, int8="full", deepcache=2)
-                    result["serving_config"] = (
-                        "b4 W8A8-full + DeepCache k=2, pipelined "
-                        "(quality: image-|d| p99 0.064, BASELINE.md)")
-                    result["serving_img_s"] = srv["value"]
-                    result["serving_vs_baseline"] = srv["vs_baseline"]
+                    result["serving_approx_config"] = (
+                        "b4 W8A8-full + DeepCache k=2, pipelined — "
+                        "approximate mode (quality: image-|d| p99 0.064 on "
+                        "random-init weights, BASELINE.md)")
+                    result["serving_approx_img_s"] = srv["value"]
+                    result["serving_approx_vs_prev_round"] = round(
+                        srv["value"] / PREV_ROUND["serving_extra"], 4)
                 except Exception as e:  # never fail the headline metric
                     result["serving_error"] = repr(e)[:200]
         elif name == "breakdown":

@@ -42,11 +42,40 @@ class VAEConfig:
 
     @classmethod
     def from_dict(cls, data: dict) -> "VAEConfig":
-        return cls(
+        """Parse a diffusers ``vae/config.json``.  Topology fields are honored:
+        ``block_out_channels`` sets base_channels/ch_mult; values the fixed
+        2-resnet-per-stage encoder / 3-per-stage decoder cannot realize
+        (``layers_per_block`` != 2, ``norm_num_groups`` != 32) raise instead of
+        silently building the wrong network."""
+        kw = dict(
             in_channels=data.get("in_channels", 3),
             out_channels=data.get("out_channels", 3),
             latent_channels=data.get("latent_channels", 4),
         )
+        boc = data.get("block_out_channels")
+        if boc is not None:
+            base = int(boc[0])
+            if base <= 0 or any(int(c) % base for c in boc):
+                raise ValueError(
+                    f"unsupported block_out_channels={boc}: stages must be "
+                    f"integer multiples of the first ({base})"
+                )
+            kw["base_channels"] = base
+            kw["ch_mult"] = tuple(int(c) // base for c in boc)
+        lpb = int(data.get("layers_per_block", 2))
+        if lpb != 2:
+            raise ValueError(
+                f"layers_per_block={lpb} unsupported: the VAE topology is "
+                "2 encoder resnets / 3 decoder resnets per stage "
+                "(reference vae.py:134-239)"
+            )
+        ng = int(data.get("norm_num_groups", 32))
+        if ng != 32:
+            raise ValueError(
+                f"norm_num_groups={ng} unsupported: GroupNorm(32) is fixed "
+                "throughout (reference vae.py:134-239)"
+            )
+        return cls(**kw)
 
 
 def _residual_block(params, x: jax.Array, *, eps: float = 1e-6, impl: str = "auto") -> jax.Array:

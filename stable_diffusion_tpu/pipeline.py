@@ -430,6 +430,7 @@ class StableDiffusion:
                     schedule.prediction_type,
                     float(eta),
                     self.impl,
+                    int(deepcache_interval),
                 )
                 progress_callback(min(i + c, n), n)
         if return_latents:

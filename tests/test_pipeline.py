@@ -386,6 +386,33 @@ def test_progress_callback_matches_single_scan(tiny, rng):
     assert calls == [(0, 4), (2, 4), (4, 4)]
 
 
+def test_progress_mode_keeps_deepcache(tiny):
+    """Round-3 regression (VERDICT weak #4): the chunked progress branch
+    dropped deepcache_interval, silently running the exact path.  With one
+    segment (progress_every >= steps, DDIM eta=0) progress mode must equal
+    the single-scan DeepCache output exactly — and NOT the exact path."""
+    pipe, _, _ = tiny
+    kw = dict(prompt="", do_cfg=True, cfg_scale=3.0, inference_steps=4,
+              sampler="ddim", img_size=(64, 64), seed=3,
+              cond_ids=np.zeros((1, 77), np.int64), uncond_ids=np.ones((1, 77), np.int64))
+    exact = pipe.generate(**kw)
+    cached = pipe.generate(**kw, deepcache_interval=2)
+    # the approximation is visible (well above recompile noise ~1e-5)
+    assert float(np.max(np.abs(cached - exact))) > 1e-3
+    calls = []
+    prog = pipe.generate(**kw, deepcache_interval=2, progress_every=4,
+                         progress_callback=lambda d, n: calls.append((d, n)))
+    assert calls == [(0, 4), (4, 4)]
+    # 1e-5: XLA CPU fuses the two programs differently (same class of noise
+    # as test_progress_callback_matches_single_scan) — the old bug was ~1e-2
+    np.testing.assert_allclose(prog, cached, atol=1e-5)
+    # multi-segment: cache restarts per segment (fresher, still finite/valid)
+    prog2 = pipe.generate(**kw, deepcache_interval=2, progress_every=2,
+                          progress_callback=lambda d, n: None)
+    assert np.all(np.isfinite(prog2))
+    assert float(np.max(np.abs(prog2 - exact))) > 1e-3
+
+
 def test_inpaint_progress_matches(tiny):
     """Inpaint progress mode reproduces the fused program (DDIM, same key
     splits) while reporting progress."""
