@@ -73,13 +73,28 @@ def classify_dot(eqn):
 
 
 def classify_conv(eqn):
+    """FLOPs from the actual dimension_numbers: forward convs are HWIO here,
+    but grad-of-conv traces as conv_general_dilated with permuted specs
+    (dx: flipped kernel + lhs dilation; dw: batch as the contraction), so
+    read the kernel's spatial/in-feature dims from rhs_spec instead of
+    assuming a layout."""
     x, w = eqn.invars[0].aval, eqn.invars[1].aval
     out = eqn.outvars[0].aval
-    kh, kw = int(w.shape[0]), int(w.shape[1])
-    cin, cout = int(w.shape[2]), int(w.shape[3])
-    flops = 2.0 * _dims(out.shape) * kh * kw * cin
-    cls = "conv3x3" if kh == 3 else ("conv1x1" if kh == 1 else "other-conv")
-    return cls, flops, (kh, cin, cout, tuple(int(d) for d in x.shape))
+    dn = eqn.params["dimension_numbers"]
+    rhs = dn.rhs_spec  # (out_feat, in_feat, *spatial)
+    groups = int(eqn.params.get("feature_group_count", 1))
+    spatial = [int(w.shape[i]) for i in rhs[2:]]
+    cin = int(w.shape[rhs[1]])
+    cout = int(w.shape[rhs[0]])
+    flops = 2.0 * _dims(out.shape) * _dims(spatial) * cin / groups
+    ksz = max(spatial) if spatial else 1
+    if ksz <= 3:
+        cls = "conv3x3" if ksz == 3 else "conv1x1"
+    elif ksz > 7:
+        cls = "conv-wgrad"  # dw conv: dy is the rhs, spatial dims are big
+    else:
+        cls = "other-conv"
+    return cls, flops, (tuple(spatial), cin, cout, tuple(int(d) for d in x.shape))
 
 
 MXU_PRIMS = {"dot_general", "conv_general_dilated"}
@@ -113,26 +128,76 @@ def walk(jaxpr, agg, examples):
     return agg
 
 
+def trace_train_step():
+    """Jaxpr of the FULL bench train step (config 4: b4 512^2 DreamBooth+LoRA,
+    fwd+bwd, remat off, optimizer+EMA included) with impl="xla" so every dot
+    and conv — forward, recompute, dgrad, wgrad — is a visible primitive.
+    (VERDICT round-3 item 9: justify 5.56 steps/s or find the next win.)"""
+    from stable_diffusion_tpu import schedulers as S
+    from stable_diffusion_tpu import training as T
+    from stable_diffusion_tpu.models import clip as clip_m
+    from stable_diffusion_tpu.models import vae as vae_m
+
+    ucfg, tcfg = unet_m.UNetConfig.sd15(), clip_m.CLIPTextConfig.vit_l()
+    vcfg = vae_m.VAEConfig()
+    tcfg_cfg = T.TrainConfig(
+        rank=128, alpha=128.0, use_ema=True, gradient_checkpointing=False,
+        grad_accum_steps=2,
+        lora_targets=("q_proj", "k_proj", "v_proj", "out_proj"))
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    base = {
+        "unet": jax.eval_shape(lambda k: unet_m.init_unet(k, ucfg, dtype=jnp.bfloat16), k1),
+        "text_encoder": jax.eval_shape(lambda k: clip_m.init_text_model(k, tcfg, dtype=jnp.bfloat16), k2),
+        "vae": jax.eval_shape(lambda k: vae_m.init_vae(k, vcfg, dtype=jnp.bfloat16), k3),
+    }
+    state = jax.eval_shape(
+        lambda bp: T.init_train_state(jax.random.key(0), bp, tcfg_cfg), base)
+    b = 4
+    batch = {
+        "images": jax.ShapeDtypeStruct((b, 512, 512, 3), jnp.bfloat16),
+        "input_ids": jax.ShapeDtypeStruct((b, 77), jnp.int32),
+        "t": jax.ShapeDtypeStruct((b,), jnp.int32),
+        "noise": jax.ShapeDtypeStruct((b, 64, 64, 4), jnp.bfloat16),
+        "vae_noise": jax.ShapeDtypeStruct((b, 64, 64, 4), jnp.bfloat16),
+    }
+    schedule = S.make_schedule()
+
+    def full(state, batch, base_params):
+        step = T.make_train_step(
+            base_params, ucfg=ucfg, tcfg=tcfg, vcfg=vcfg,
+            schedule=schedule, train_cfg=tcfg_cfg, impl="xla")
+        return step(state, batch)
+
+    return jax.make_jaxpr(full)(state, batch, base)
+
+
 def main():
     res = int(os.environ.get("FLOOR_RES", "64"))
     sd = os.environ.get("FLOOR_SD", "1.5")
     b = int(os.environ.get("FLOOR_BATCH", "2"))
-    cfg = unet_m.UNetConfig.sd15() if sd == "1.5" else unet_m.UNetConfig.sd21()
-    cross = cfg.cross_attention_dim if isinstance(cfg.cross_attention_dim, int) else cfg.cross_attention_dim[0]
-    key = jax.random.key(0)
-    params = jax.eval_shape(
-        lambda k: unet_m.init_unet(k, cfg, dtype=jnp.bfloat16), key)
-    x = jax.ShapeDtypeStruct((b, res, res, 4), jnp.bfloat16)
-    t = jax.ShapeDtypeStruct((b,), jnp.int32)
-    cond = jax.ShapeDtypeStruct((b, 77, cross), jnp.bfloat16)
+    train = os.environ.get("FLOOR_TRAIN", "0") != "0"
+    if train:
+        jaxpr = trace_train_step()
+        header = ("Train step (config 4: b4 512^2 DreamBooth+LoRA fwd+bwd, "
+                  "remat off) — analytic floor (pure-XLA jaxpr walk)")
+    else:
+        cfg = unet_m.UNetConfig.sd15() if sd == "1.5" else unet_m.UNetConfig.sd21()
+        cross = cfg.cross_attention_dim if isinstance(cfg.cross_attention_dim, int) else cfg.cross_attention_dim[0]
+        key = jax.random.key(0)
+        params = jax.eval_shape(
+            lambda k: unet_m.init_unet(k, cfg, dtype=jnp.bfloat16), key)
+        x = jax.ShapeDtypeStruct((b, res, res, 4), jnp.bfloat16)
+        t = jax.ShapeDtypeStruct((b,), jnp.int32)
+        cond = jax.ShapeDtypeStruct((b, 77, cross), jnp.bfloat16)
 
-    jaxpr = jax.make_jaxpr(
-        lambda p, x, t, c: unet_m.unet_apply(p, x, t, c, cfg, impl="xla")
-    )(params, x, t, cond)
+        jaxpr = jax.make_jaxpr(
+            lambda p, x, t, c: unet_m.unet_apply(p, x, t, c, cfg, impl="xla")
+        )(params, x, t, cond)
+        header = f"UNet {sd} step b{b} {res}^2 — analytic floor (pure-XLA jaxpr walk)"
     agg, examples = {}, {}
     walk(jaxpr.jaxpr, agg, examples)
 
-    print(f"UNet {sd} step b{b} {res}^2 — analytic floor (pure-XLA jaxpr walk)")
+    print(header)
     print(f"{'class':12s} {'GFLOP':>9s} {'GB':>7s} {'n':>4s} "
           f"{'floor@peak':>11s} {'floor@meas':>11s}")
     total_peak = total_meas = 0.0
@@ -142,7 +207,10 @@ def main():
     # (microbench_linear), fused GeGLU-FFN kernel ~170 (microbench_ffn)
     MEAS = {"attn-qk/pv": 78.0, "conv3x3": 150.0, "conv1x1": 150.0,
             "conv-im2col": 190.0, "proj": 134.0, "ffn": 170.0,
-            "other-conv": 150.0}
+            "other-conv": 150.0,
+            # wgrad convs are tall-K dy-contractions XLA runs as dots; no
+            # dedicated microbench — priced at the in-program XLA dot rate
+            "conv-wgrad": 134.0}
     for cls, (fl, by, n) in sorted(agg.items(), key=lambda kv: -kv[1][0]):
         if cls == "glue-bytes":
             t_pk = by / (COPY_GBS * 1e9) * 1e3

@@ -4,8 +4,12 @@ benchmarks/flop_floor.py) vs the Pallas tap kernel (3x width-im2col build,
 K-block weight streaming).
 
 The use_im2col_conv gate (models/layers.py) routes 2*cin >= 3*cout shapes to
-the XLA dot; this measures whether that choice holds once the im2col build's
-HBM traffic is charged in-program (chained-scan differential, value fetched).
+the XLA dot only while the im2col buffer stays under its 80 MB cap — the two
+64^2 shapes below exceed it and conv2d falls through to XLA's spatial conv
+(and production routes them to the Pallas kernel anyway); each row's first
+column is labeled with the route conv2d actually takes.  This measures
+whether the gate's choice holds once the im2col build's HBM traffic is
+charged in-program (chained-scan differential, value fetched).
 
     python benchmarks/microbench_bigk.py
 """
@@ -60,9 +64,15 @@ def main():
         def route_kernel(x, w):
             return C._conv3x3(x, w, None)
 
+        # label the conv2d column by the route it ACTUALLY takes: the
+        # use_im2col_conv gate rejects 64^2 big-K shapes (im2col buffer
+        # exceeds the 80 MB cap) and conv2d falls through to XLA's spatial
+        # conv there, so calling the column "im2col" would mislead.
+        takes_im2col = layers.use_im2col_conv(x.shape, w.shape)
+        prod_name = "im2col" if takes_im2col else "xla-spatial"
         row = f"b{b} {s}^2 {ci}->{co}  ({fl/1e9:.1f} GF)"
-        for name, fn in (("im2col", route_im2col),
-                         ("kernel", route_kernel if ok else None)):
+        for name, fn in ((prod_name, route_im2col),
+                         ("pallas", route_kernel if ok else None)):
             if fn is None:
                 row += f"  {name}: no plan"
                 continue

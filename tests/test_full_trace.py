@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.heavy  # full-topology traces take minutes on one core
+
 from stable_diffusion_tpu import schedulers as S
 from stable_diffusion_tpu import training as T
 from stable_diffusion_tpu.models import clip as clip_m

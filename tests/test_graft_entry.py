@@ -12,6 +12,10 @@ import os
 import subprocess
 import sys
 
+import pytest
+
+pytestmark = pytest.mark.heavy  # spawns a fresh interpreter running the dryrun
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
