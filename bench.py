@@ -206,14 +206,19 @@ def _timed_pipelined(dispatch, repeats):
     (pipeline device_output=True, lane-packed (b, h, w*3)).  Measured on
     config 5: the sequential NHWC fetch cost ~1.5 s per 25 MB uint8 batch on
     the axon relay; lane-packing cuts it 3.3x and pipelining overlaps most
-    of the rest (benchmarks/probe_fetch_overlap.py, probe_fetch_shapes.py)."""
+    of the rest (benchmarks/probe_fetch_overlap.py, probe_fetch_shapes.py).
+    copy_to_host_async at dispatch time lets the runtime start the D2H the
+    instant compute finishes (round-4 probe: best of 5 schemes; deeper
+    pipelining measured WORSE — see BASELINE.md round-4 transfer table)."""
     from stable_diffusion_tpu.pipeline import _unpack_images
 
     _unpack_images(dispatch(0))  # warmup + compile
     prev = dispatch(1)
+    prev.copy_to_host_async()
     t0 = time.perf_counter()
     for i in range(repeats):
         cur = dispatch(i + 2)
+        cur.copy_to_host_async()
         out = _unpack_images(prev)
         prev = cur
     dt = (time.perf_counter() - t0) / repeats
