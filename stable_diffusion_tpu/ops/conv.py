@@ -174,7 +174,13 @@ MIN_CHANNELS = 320
 # (benchmarks/microbench_vae_decode.py + /tmp A/B, ms/img kernel vs XLA):
 #   b1 34.2/79.0  b2 39.8/45.5  b4 41.2/30.1  b8 43.1/22.0  b32 47.8/21.9
 # At batch >= 4 XLA's conv gets tall M and escapes the degradation, so the
-# envelope caps at batch 2 (the b1 headline + b2 CFG shapes).
+# envelope caps at batch 2 (the b1 headline + b2 CFG shapes) for INFERENCE
+# programs.  The TRAIN step is different: the round-4 full-step profile
+# showed XLA's b4 VAE-encoder convs dragging ~55 ms/step of T(8,128)<->
+# T(4,128) relayout copy/bitcast fusions into the program (copy 31.9 +
+# bitcast 22.2 ms of 164.7; the convs themselves were fine) — so the train
+# step requests a higher cap via large_max_batch (vae.encode(train_batch=)
+# threads it through), keeping layout coherence with the Pallas path.
 LARGE_MAX_AREA = 768 * 768
 LARGE_MIN_CHANNELS = 128
 LARGE_MAX_BATCH = 2
@@ -687,8 +693,18 @@ def gn_silu_conv3x3(
                                kernel, bias, num_groups, eps)
     from stable_diffusion_tpu.ops.groupnorm import group_norm_silu
 
+    # This branch's conv runs as an XLA spatial conv (kernel envelope and
+    # im2col gate both declined); a Pallas GN custom call next to it pins
+    # row-major layouts at its boundary and forces full-tensor relayouts.
+    # Measured (round 4, /tmp ab_gn_route A/B on the VAE 512^2 stages): at
+    # batch >= 8 the XLA GN wins decisively (b8 decode 130 vs 181 ms, b32
+    # decode 503 vs 706, b32 encode 229 vs 340 — the one-step b32 device
+    # floor moved 31.9 -> 39.9 img/s), while at batch <= 4 the Pallas GN
+    # keeps winning (b4 encode 59 vs 95 ms: XLA's f32 stats copies cost
+    # more than the relayouts).  Envelope: XLA GN at serving batches.
+    gn_impl = "xla" if x.shape[0] >= 8 else impl
     h = group_norm_silu(gn_params, x, num_groups=num_groups, eps=eps,
-                        silu=True, impl=impl)
+                        silu=True, impl=gn_impl)
     from stable_diffusion_tpu.models import layers
 
     return layers.conv2d(dict(conv_params, kernel=kernel), h)
