@@ -80,6 +80,17 @@ def main():
         for bk_try in (1152, 2304, 4608):
             if s % bk_try == 0 and bk_try != bk_new:
                 bench(f"online (bq{bq_new}/bk{bk_try})", online(bq_new, bk_try), q, k, v, flops)
+        # taller q blocks halve the K/V re-streaming (round 4): each q block
+        # reads the full K/V once, so DMA ~ (s/bq) * s * w; VMEM admits
+        # bq=1024 only with a narrower logits slab (bk <= 1152 at w=384)
+        if s > 4096:
+            for bq_try, bk_try in ((1024, 1152), (1024, 768), (2304, 768)):
+                if s % bq_try == 0 and s % bk_try == 0:
+                    try:
+                        bench(f"online (bq{bq_try}/bk{bk_try})",
+                              online(bq_try, bk_try), q, k, v, flops)
+                    except Exception as e:  # scoped-VMEM OOM at compile
+                        print(f"  online (bq{bq_try}/bk{bk_try}): {type(e).__name__}")
         sp = fa._single_bq(s, w, 2)
         if sp:
             bench(f"single-pass (bq{sp})", lambda q_, k_, v_: fa._flash_merged_single(
