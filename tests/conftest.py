@@ -16,6 +16,18 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")  # parity tests are CPU-exact
 
+# Persistent compilation cache: the suite's wall-clock on this single-core
+# box is dominated by XLA:CPU compiles of the same tiny programs every run
+# (fast tier measured 26 min cold).  The cache keys on the HLO hash, so code
+# changes that alter a traced program recompile automatically; unchanged
+# programs load in milliseconds.  SD_TPU_TEST_NO_CACHE=1 disables.
+if os.environ.get("SD_TPU_TEST_NO_CACHE", "") != "1":
+    _cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np

@@ -8,6 +8,10 @@ import numpy as np
 import jax
 import pytest
 
+# drives the full training CLI (jitted fwd+bwd step + checkpoint + resume);
+# ~150 s alone on this box's single core — out of the per-commit tier
+pytestmark = pytest.mark.heavy
+
 from stable_diffusion_tpu.models import clip as jclip
 from stable_diffusion_tpu.models import unet as junet
 from stable_diffusion_tpu.models import vae as jvae
