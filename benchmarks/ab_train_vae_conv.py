@@ -105,11 +105,24 @@ def main():
             dt, loss = timed(step_fn, state, batch)
             print(f"LARGE_MAX_BATCH={cap}: {dt*1e3:8.2f} ms/step "
                   f"({1/dt:6.3f} steps/s)  loss={loss:.5f}", flush=True)
-    conv_ops.LARGE_MAX_BATCH = 2
-    step_fn, state, batch = build_step_no_vae()
-    dt, loss = timed(step_fn, state, batch)
-    print(f"no-VAE-encode:      {dt*1e3:8.2f} ms/step "
-          f"({1/dt:6.3f} steps/s)  loss={loss:.5f}", flush=True)
+    if os.environ.get("AB_PARTIAL", "") == "1":
+        # partial raise: Pallas convs at b4 only for <= 256^2 spatial (the
+        # 512^2 shapes — where the kernel's width-im2col build is furthest
+        # from XLA — stay XLA).  Probes whether the all-or-nothing cap=4
+        # LOSS was dominated by the 512^2 shapes.
+        conv_ops.LARGE_MAX_BATCH = 4
+        conv_ops.LARGE_MAX_AREA = 256 * 256
+        step_fn, state, batch = build_step()
+        dt, loss = timed(step_fn, state, batch)
+        print(f"partial (<=256^2 @ b4): {dt*1e3:8.2f} ms/step "
+              f"({1/dt:6.3f} steps/s)  loss={loss:.5f}", flush=True)
+        conv_ops.LARGE_MAX_AREA = 768 * 768
+    if os.environ.get("AB_NOVAE", "1") == "1":
+        conv_ops.LARGE_MAX_BATCH = 2
+        step_fn, state, batch = build_step_no_vae()
+        dt, loss = timed(step_fn, state, batch)
+        print(f"no-VAE-encode:      {dt*1e3:8.2f} ms/step "
+              f"({1/dt:6.3f} steps/s)  loss={loss:.5f}", flush=True)
 
 
 if __name__ == "__main__":
