@@ -519,12 +519,16 @@ def _xla_conv(x, kernel, bias):
 
 
 def _dx_via_forward() -> bool:
-    """A/B gate for the split backward: SD_TPU_CONV_BWD=pallas routes dx
-    through the forward Pallas/im2col dispatcher.  Default is the XLA
-    transposed-conv vjp — the round-3 on-chip A/B measured the Pallas dx
-    route slightly SLOWER end-to-end (train b4: 4.74 vs 4.82 steps/s with
-    XLA dx), so the simpler path is the default."""
-    return os.environ.get("SD_TPU_CONV_BWD", "xla") == "pallas"
+    """A/B gate for the split backward: dx through the forward Pallas/im2col
+    dispatcher (default) vs the XLA transposed-conv vjp (SD_TPU_CONV_BWD=xla).
+
+    Round 3 measured the two within 2% and shipped XLA (4.74 vs 4.82
+    steps/s); the round-4 INTERLEAVED paired A/B (same process, alternating
+    10-step blocks x2) flips it decisively: Pallas dx 168.5 / 167.9 ms/step
+    vs XLA dx 172.8 / 189.8 — the XLA transposed conv drags the same
+    T(8,128)<->T(4,128) relayout churn into the backward that the GN-route
+    work found in the VAE (BASELINE.md round 4)."""
+    return os.environ.get("SD_TPU_CONV_BWD", "pallas") == "pallas"
 
 
 def _dx_conv(kernel, g):
