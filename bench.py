@@ -285,6 +285,10 @@ def bench_train_step(repeats):
 
     state, m = step_fn(state, batch)  # compile
     _ = np.asarray(m["loss"])
+    # a train step is ~180 ms — BENCH_REPEATS=3 (the e2e-config default)
+    # times only ~0.5 s and is relay-noise-dominated (round 3/4 runs moved
+    # +-5% on identical code); floor at 20 steps for a stable number
+    repeats = max(repeats, 20)
     t0 = time.perf_counter()
     for _ in range(repeats):
         state, m = step_fn(state, batch)
