@@ -28,6 +28,11 @@ import numpy as np
 
 MODEL = {"pipe": None}
 
+# Output resolution for all three tabs (the reference demo is fixed 512x512,
+# demo/app.py:96).  Module-level so tests can drive the real handlers on a
+# tiny model at low resolution.
+IMG_SIZE = (512, 512)
+
 
 def initialize_model(model_path: str, tokenizer_dir: str, sd_version: str = "1.5",
                      lora_ckpt: str = ""):
@@ -91,7 +96,7 @@ def txt2img(prompt, uncond_prompt, n_samples, use_cosine, cfg_scale, strength,
         cfg_scale=float(cfg_scale), strength=float(strength),
         inference_steps=int(inference_steps), sampler=sampler,
         use_cosine_schedule=bool(use_cosine), batch_size=int(n_samples),
-        img_size=(512, 512), progress_callback=_progress_cb(progress),
+        img_size=IMG_SIZE, progress_callback=_progress_cb(progress),
     )
     return _to_pil(imgs)
 
@@ -104,7 +109,7 @@ def img2img(input_image, prompt, uncond_prompt, n_samples, use_cosine, cfg_scale
         do_cfg=True, cfg_scale=float(cfg_scale), strength=float(strength),
         inference_steps=int(inference_steps), sampler=sampler,
         use_cosine_schedule=bool(use_cosine), batch_size=int(n_samples),
-        img_size=(512, 512), progress_callback=_progress_cb(progress),
+        img_size=IMG_SIZE, progress_callback=_progress_cb(progress),
     )
     return _to_pil(imgs)
 
@@ -126,7 +131,7 @@ def inpaint(input_images, prompt, uncond_prompt, n_samples, use_cosine, cfg_scal
             prompt=prompt, input_image=base, mask=mask, uncond_prompt=uncond_prompt,
             do_cfg=True, cfg_scale=float(cfg_scale), strength=float(strength),
             inference_steps=int(inference_steps), sampler=sampler,
-            use_cosine_schedule=bool(use_cosine), img_size=(512, 512), seed=i,
+            use_cosine_schedule=bool(use_cosine), img_size=IMG_SIZE, seed=i,
             progress_callback=_progress_cb(progress),
         )
         outs.append(Image.fromarray(out))
