@@ -73,7 +73,11 @@ class Tab(_Container):
         return self
 
     def __exit__(self, *exc):
-        _blocks()._current_tab = self._prev_tab
+        # guard: if the Blocks stack was unwound by an exception during graph
+        # construction, don't mask the original error with an AttributeError
+        b = _blocks()
+        if b is not None:
+            b._current_tab = self._prev_tab
         return False
 
 
