@@ -148,6 +148,24 @@ def decoder_apply(params, z: jax.Array, cfg: VAEConfig = VAEConfig(), *, impl: s
     return layers.conv2d(params["conv_out"], h)
 
 
+def encode_moments(
+    params,
+    x: jax.Array,
+    cfg: VAEConfig = VAEConfig(),
+    *,
+    impl: str = "auto",
+) -> Tuple[jax.Array, jax.Array]:
+    """Deterministic half of ``encode``: image NHWC -> (mean, stdev), each
+    (B,H/8,W/8,z) (reference vae.py:251-259).  Exposed separately so a frozen
+    VAE's per-image moments can be computed ONCE and cached by the trainer —
+    the only stochastic piece of the encode is the reparameterization noise."""
+    moments = encoder_apply(params["encoder"], x, cfg, impl=impl)
+    moments = layers.conv2d(params["quant_conv"], moments)
+    mean, log_var = jnp.split(moments, 2, axis=-1)
+    log_var = jnp.clip(log_var, -30.0, 20.0)
+    return mean, jnp.exp(0.5 * log_var)
+
+
 def encode(
     params,
     x: jax.Array,
@@ -163,11 +181,7 @@ def encode(
     scaled by 0.18215 (the reference's txt2img-internal convention); with an
     explicit ``noise`` the latent is returned UNscaled (img2img path).
     """
-    moments = encoder_apply(params["encoder"], x, cfg, impl=impl)
-    moments = layers.conv2d(params["quant_conv"], moments)
-    mean, log_var = jnp.split(moments, 2, axis=-1)
-    log_var = jnp.clip(log_var, -30.0, 20.0)
-    stdev = jnp.exp(0.5 * log_var)
+    mean, stdev = encode_moments(params, x, cfg, impl=impl)
     if noise is not None:
         out = mean + stdev * noise
     else:

@@ -119,19 +119,40 @@ def dreambooth_loss(
 
     Mirrors reference train_step (train_lora_dreambooth.py:54-108): frozen
     VAE/text encode, q-sample, UNet prediction, instance + prior MSE.
+
+    Cached-frozen-encoder mode (exact, TPU-first): because the input
+    transforms are deterministic resize-only in both repos (utils/datasets.py
+    :38-46; reference utils/datasets.py:78-82) and the VAE/text encoders are
+    frozen, their outputs per image/prompt are constants across steps.  The
+    batch may therefore carry precomputed pieces instead of raw inputs:
+
+      * "latent_mean"/"latent_std" (2B,h,w,4) replace "images": the loss
+        draws ``mean + std * vae_noise`` — the SAME reparameterized sample
+        ``encode`` would produce (models/vae.py encode_moments), with only
+        the per-step noise varying.  The reference re-encodes every step
+        (train_lora_dreambooth.py:76-88).
+      * "text_emb" (2B,77,d) replaces "input_ids" when the text encoder is
+        frozen (ignored when a text LoRA is training).
+
+    tests/test_training_cached.py asserts cached == uncached loss AND grads.
     """
     unet_params = lora_m.merge_lora(base_params["unet"], lora["unet"])
     if "text_encoder" in lora:
         text_params = lora_m.merge_lora(base_params["text_encoder"], lora["text_encoder"])
         text_emb = clip_m.text_model_apply(text_params, batch["input_ids"], tcfg, impl=impl)
+    elif "text_emb" in batch:
+        text_emb = batch["text_emb"]
     else:
         text_emb = jax.lax.stop_gradient(
             clip_m.text_model_apply(base_params["text_encoder"], batch["input_ids"], tcfg, impl=impl)
         )
 
-    latents, _, _ = vae_m.encode(
-        base_params["vae"], batch["images"], vcfg, noise=batch["vae_noise"], impl=impl
-    )
+    if "latent_mean" in batch:
+        latents = batch["latent_mean"] + batch["latent_std"] * batch["vae_noise"]
+    else:
+        latents, _, _ = vae_m.encode(
+            base_params["vae"], batch["images"], vcfg, noise=batch["vae_noise"], impl=impl
+        )
     # the reference encodes with explicit noise (unscaled latents) in its
     # training path (train_lora_dreambooth.py:76-88 -> vae.py:261-263)
     latents = jax.lax.stop_gradient(latents)
@@ -221,12 +242,75 @@ def make_eval_step(
     return eval_fn
 
 
+def sample_noise_for_latents(key, lat_shape, num_train_timesteps: int = 1000):
+    """(t, eps, vae noise) for a known latent shape (b, h, w, z) — the
+    cached-moments trainer path, where no images exist to infer shape from."""
+    kt, kn, kv = jax.random.split(key, 3)
+    t = jax.random.randint(kt, (lat_shape[0],), 0, num_train_timesteps)
+    return t, jax.random.normal(kn, lat_shape), jax.random.normal(kv, lat_shape)
+
+
 def sample_batch_noise(key, batch_images, latent_factor: int = 8, num_train_timesteps: int = 1000):
     """Draw the per-batch stochastic pieces (t, eps, vae noise) outside the
     jitted step — the functional analog of the reference's in-loop torch
     sampling (train_lora_dreambooth.py:91-93)."""
     b, h, w, _ = batch_images.shape
-    kt, kn, kv = jax.random.split(key, 3)
-    t = jax.random.randint(kt, (b,), 0, num_train_timesteps)
     lat_shape = (b, h // latent_factor, w // latent_factor, 4)
-    return t, jax.random.normal(kn, lat_shape), jax.random.normal(kv, lat_shape)
+    return sample_noise_for_latents(key, lat_shape, num_train_timesteps)
+
+
+def precompute_latent_moments(
+    vae_params,
+    images,
+    vcfg: vae_m.VAEConfig,
+    *,
+    impl: str = "auto",
+    micro_batch: int = 8,
+    dtype=None,
+):
+    """Run the frozen VAE encoder ONCE over ``images`` — an (N,H,W,3) array
+    in [-1,1] — and return host-side (mean, std) arrays, each (N,h,w,4).
+
+    This is exact, not an approximation: the dataset transforms are
+    deterministic (resize-only, utils/datasets.py:38-46 — the reference's
+    are too, reference utils/datasets.py:78-82, no flips/crops), so the
+    encoder moments per image never change across steps; only the
+    reparameterization noise does, and the cached trainer still draws that
+    fresh each step.  Removes ~1/3 of the measured train-step time
+    (BASELINE.md round-5 train table) vs re-encoding like the reference
+    (train_lora_dreambooth.py:76-88).
+
+    Pads the trailing partial micro-batch to a fixed shape so jit compiles
+    at most once.
+    """
+    import numpy as np
+
+    enc = jax.jit(lambda x: vae_m.encode_moments(vae_params, x, vcfg, impl=impl))
+    n = images.shape[0]
+    mb = min(micro_batch, n)
+    means, stds = [], []
+    for start in range(0, n, mb):
+        chunk = images[start : start + mb]
+        pad = mb - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, axis=0)])
+        x = jnp.asarray(chunk, dtype) if dtype is not None else jnp.asarray(chunk)
+        m, s = enc(x)
+        means.append(np.asarray(m)[: mb - pad])
+        stds.append(np.asarray(s)[: mb - pad])
+    return np.concatenate(means), np.concatenate(stds)
+
+
+def precompute_text_embedding(
+    text_params, input_ids, tcfg: clip_m.CLIPTextConfig, *, impl: str = "auto", dtype=None
+):
+    """Frozen text-encoder output for a fixed prompt (1,77) -> host (1,77,d).
+    DreamBooth uses exactly two prompts (instance + class, constant strings —
+    utils/datasets.py DreamBoothDataset), so the whole text-encoder cache is
+    two rows; valid only while the text encoder is frozen (no --train_text_encoder)."""
+    import numpy as np
+
+    emb = clip_m.text_model_apply(text_params, jnp.asarray(input_ids), tcfg, impl=impl)
+    if dtype is not None:
+        emb = emb.astype(dtype)
+    return np.asarray(emb)

@@ -103,6 +103,23 @@ class DreamBoothDataset:
     def __len__(self):
         return self.length
 
+    @property
+    def num_instance(self) -> int:
+        return len(self.instance_imgs)
+
+    @property
+    def num_class(self) -> int:
+        return len(self.class_imgs)
+
+    def instance_pixels(self, i: int) -> np.ndarray:
+        """Transformed instance image i — deterministic (resize-only), so the
+        frozen-encoder cache in the trainer is exact (training.py
+        precompute_latent_moments)."""
+        return _load_and_transform(self.instance_imgs[i], self.img_size)
+
+    def class_pixels(self, i: int) -> np.ndarray:
+        return _load_and_transform(self.class_imgs[i], self.img_size)
+
     def __getitem__(self, index: int):
         return {
             "instance_img": _load_and_transform(
@@ -144,7 +161,10 @@ class DataLoader:
     def __len__(self):
         return max(len(self.dataset) // self.batch_size, 1)
 
-    def __iter__(self) -> Iterator[dict]:
+    def iter_indices(self) -> Iterator[List[int]]:
+        """Yield the per-batch dataset indices (same shuffle/drop-last
+        semantics as ``__iter__``) — shared by the image path and the
+        cached-frozen-encoder path so both see identical batch order."""
         order = list(range(len(self.dataset)))
         if self.shuffle:
             self._rng.shuffle(order)
@@ -152,7 +172,10 @@ class DataLoader:
         bs = self.batch_size
         for start in range(0, n - bs + 1, bs) if n >= bs else [0]:
             idx = order[start : start + bs] if n >= bs else order * ((bs // n) + 1)
-            idx = idx[:bs]
+            yield idx[:bs]
+
+    def __iter__(self) -> Iterator[dict]:
+        for idx in self.iter_indices():
             yield collate([self.dataset[i] for i in idx], self.tokenizer)
 
 

@@ -60,6 +60,15 @@ def build_parser():
     p.add_argument("--lr_warmup_steps", default=0, type=int)
     p.add_argument("--profile_dir", default="", type=str,
                    help="Capture an XLA/TPU trace of the first epoch (TensorBoard profile plugin)")
+    p.add_argument("--cache_latents", metavar="", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="Precompute the frozen VAE's per-image (mean, std) moments and the "
+                        "frozen text embeddings ONCE and train from the cache. Exact, not an "
+                        "approximation: transforms are deterministic (resize-only) and only the "
+                        "reparameterization noise varies per step (training.py "
+                        "precompute_latent_moments). Text caching is skipped automatically "
+                        "under --train_text_encoder. --no-cache_latents restores the "
+                        "reference-style re-encode-every-step loop.")
     return p
 
 
@@ -181,6 +190,71 @@ def train(args, base_params, ucfg, tcfg, vcfg, tokenizer):
             "vae_noise": dsh(np.asarray(vnoise)),
         }
 
+    # Cached-frozen-encoder mode (exact; see training.py dreambooth_loss):
+    # the frozen VAE moments per image and the frozen text embeddings per
+    # prompt are constants across steps, so compute them once up front and
+    # build batches from the cache — the reference re-encodes every step
+    # (train_lora_dreambooth.py:76-88).  RNG consumption per batch is
+    # identical to make_batch, so cached and uncached runs with the same
+    # seed follow the same noise stream (tests/test_train_cli.py asserts
+    # end-state equality).
+    if args.cache_latents:
+        ds = train_dl.dataset
+        t_pre = time.time()
+        inst_mean, inst_std = T.precompute_latent_moments(
+            base_params["vae"],
+            np.stack([ds.instance_pixels(i) for i in range(ds.num_instance)]),
+            vcfg, impl=impl,
+        )
+        cls_mean, cls_std = T.precompute_latent_moments(
+            base_params["vae"],
+            np.stack([ds.class_pixels(i) for i in range(ds.num_class)]),
+            vcfg, impl=impl,
+        )
+        ids_pair = tokenizer.pad(
+            {"input_ids": [ds._tokenize(ds.instance_prompt), ds._tokenize(ds.class_prompt)]},
+            padding="max_length", max_length=77, return_tensors="np",
+        )["input_ids"].astype(np.int32)
+        emb_pair = None
+        if not train_cfg.train_text_encoder:
+            emb_pair = T.precompute_text_embedding(
+                base_params["text_encoder"], ids_pair, tcfg, impl=impl
+            )
+        print(
+            f"cached frozen encoders: {ds.num_instance}+{ds.num_class} images "
+            f"({time.time()-t_pre:.1f}s)", flush=True,
+        )
+
+        def make_cached_batch(idx):
+            nonlocal key
+            key, nk = jax.random.split(key)
+            ii = [i % ds.num_instance for i in idx]
+            ci = [i % ds.num_class for i in idx]
+            mean = np.concatenate([inst_mean[ii], cls_mean[ci]])
+            std = np.concatenate([inst_std[ii], cls_std[ci]])
+            t, noise, vnoise = T.sample_noise_for_latents(nk, mean.shape)
+            b = len(idx)
+            batch = {
+                "latent_mean": dsh(mean), "latent_std": dsh(std),
+                "t": dsh(np.asarray(t)), "noise": dsh(np.asarray(noise)),
+                "vae_noise": dsh(np.asarray(vnoise)),
+            }
+            if emb_pair is None:  # text LoRA training: ids, not embeddings
+                batch["input_ids"] = dsh(np.concatenate(
+                    [np.repeat(ids_pair[:1], b, 0), np.repeat(ids_pair[1:], b, 0)]))
+            else:
+                batch["text_emb"] = dsh(np.concatenate(
+                    [np.repeat(emb_pair[:1], b, 0), np.repeat(emb_pair[1:], b, 0)]))
+            return batch
+
+        def train_batches(dl):
+            for idx in dl.iter_indices():
+                yield make_cached_batch(idx)
+    else:
+        def train_batches(dl):
+            for batch_np in dl:
+                yield make_batch(batch_np)
+
     from stable_diffusion_tpu.utils.profiling import trace
 
     # max_train_steps counts OPTIMIZER UPDATES (reference :228-229); with
@@ -191,8 +265,8 @@ def train(args, base_params, ucfg, tcfg, vcfg, tokenizer):
         for epoch in range(start_epoch, start_epoch + epochs):
             losses = []
             t0 = time.time()
-            for batch_np in train_dl:
-                state, metrics = step_fn(state, make_batch(batch_np))
+            for batch in train_batches(train_dl):
+                state, metrics = step_fn(state, batch)
                 losses.append(float(metrics["loss"]))
                 micro_steps += 1
                 if micro_steps // accum >= args.max_train_steps:
@@ -201,7 +275,7 @@ def train(args, base_params, ucfg, tcfg, vcfg, tokenizer):
 
             # test pass (reference test_step + Loss/{train,test} scalars,
             # train_lora_dreambooth.py:129-188, 251-254)
-            test_losses = [float(eval_fn(state, make_batch(b))) for b in test_dl]
+            test_losses = [float(eval_fn(state, b)) for b in train_batches(test_dl)]
             test_loss = float(np.mean(test_losses)) if test_losses else float("nan")
 
             print(
