@@ -53,7 +53,10 @@ def load_clip_scorer(clip_model_dir: str):
     tcfg = clip_m.CLIPTextConfig.from_dict(cfg.get("text_config", cfg))
     vcfg = clip_m.CLIPVisionConfig.from_dict(cfg.get("vision_config", cfg))
     flat = mc.read_checkpoint(os.path.join(clip_model_dir, "model.safetensors"))
-    params = from_torch_state_dict(flat)
+    # device arrays, not numpy: the scorer closes over these under jit, and a
+    # numpy embedding table cannot be indexed by a traced id array
+    # (caught by tests/test_eval_quant.py::test_evaluation_cli_main)
+    params = jax.tree.map(jnp.asarray, from_torch_state_dict(flat))
 
     import functools
 

@@ -63,7 +63,7 @@ def inference(args, model, input_image=None):
 
 def build_parser():
     parser = argparse.ArgumentParser(description="Inference Arguments")
-    parser.add_argument("--model_path", help="Model path (diffusers layout)", metavar="", default="")
+    parser.add_argument("--model_path", help="Model path (diffusers layout dir or single LDM .ckpt/.safetensors file)", metavar="", default="")
     parser.add_argument("--tokenizer_dir", metavar="", default="", help="Tokenizer dir")
     parser.add_argument("--device", metavar="", default="tpu", type=str,
                         help="Accepted for reference-CLI parity; JAX picks the backend")

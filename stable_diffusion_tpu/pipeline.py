@@ -129,10 +129,36 @@ class StableDiffusion:
         impl: str = "auto",
     ) -> "StableDiffusion":
         """Load a stock diffusers-layout model directory (vae/, text_encoder/,
-        unet/, scheduler/) — reference diffusion.py:38-44."""
+        unet/, scheduler/) — reference diffusion.py:38-44 — or, when
+        ``pretrained_dir`` is a FILE, a single CompVis/LDM checkpoint
+        (v1-5-pruned-emaonly.ckpt style; the reference inference CLI's
+        default path, reference inference.py:102-124 -> model_converter
+        load_weights :2744).  Configs then come from ``sd_version``
+        (1.x: SD1.5 topology + epsilon; 2.x: SD2.1 + v-prediction)."""
         import json
 
         from stable_diffusion_tpu.utils import model_converter as mc
+
+        if os.path.isfile(pretrained_dir):
+            params = mc.load_ldm_checkpoint(
+                pretrained_dir, sd_version=sd_version, dtype=dtype)
+            v1 = sd_version.startswith("1")
+            return cls(
+                params=params,
+                unet_config=unet_m.UNetConfig.sd15() if v1 else unet_m.UNetConfig.sd21(),
+                text_config=(clip_m.CLIPTextConfig.vit_l() if v1
+                             else clip_m.CLIPTextConfig.vit_h()),
+                vae_config=vae_m.VAEConfig(),
+                scheduler_config={
+                    "num_train_timesteps": 1000, "beta_start": 0.00085,
+                    "beta_end": 0.012,
+                    "prediction_type": "epsilon" if v1 else "v_prediction",
+                },
+                tokenizer=tokenizer,
+                dtype=dtype,
+                impl=impl,
+                sd_version=sd_version,
+            )
 
         with open(os.path.join(pretrained_dir, "unet", "config.json")) as f:
             ucfg = unet_m.UNetConfig.from_dict(json.load(f))

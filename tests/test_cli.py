@@ -143,7 +143,8 @@ def model_dir(tmp_path_factory):
     (root / "vae").mkdir()
     _save_torch_flavor(vtree, str(root / "vae" / "diffusion_pytorch_model.safetensors"))
     with open(root / "vae" / "config.json", "w") as f:
-        json.dump({"in_channels": 3, "latent_channels": 4}, f)
+        json.dump({"in_channels": 3, "latent_channels": 4,
+                   "block_out_channels": [32, 32, 32, 32]}, f)
 
     (root / "scheduler").mkdir()
     with open(root / "scheduler" / "scheduler_config.json", "w") as f:

@@ -9,6 +9,7 @@ import torch
 
 from stable_diffusion_tpu.models import clip as jclip
 from stable_diffusion_tpu.utils.torch_interop import from_torch_state_dict
+from tests.test_cli import model_dir  # noqa: F401  (fixture for the CLI test)
 
 
 @pytest.fixture(scope="module")
@@ -286,3 +287,89 @@ def test_static_text_encoder_quant(rng):
         functools.partial(jclip.text_model_apply, cfg=tcfg, impl="xla")
     )(qparams, input_ids=ids))
     np.testing.assert_allclose(jit_out, quant, atol=1e-5)
+
+
+@pytest.mark.heavy
+def test_evaluation_cli_main(model_dir, tmp_path, monkeypatch, rng):
+    """Drive evaluation.main() through argv — the README's one-command
+    real-weights re-measure hook — with the CLIP-score AND CLIP-FID backends
+    engaged via a saved tiny HF CLIPModel dir.  Verifies the documented
+    argument path end-to-end up to the data itself (inception FID weights
+    are the one piece that still needs a real file; the backbone itself is
+    parity-tested in tests/test_fid.py)."""
+    import json as _json
+
+    from PIL import Image
+    from transformers import CLIPConfig, CLIPModel
+    from transformers import CLIPTextConfig as HFTextCfg
+    from transformers import CLIPVisionConfig as HFVisionCfg
+
+    import evaluation as ev
+
+    # tiny HF CLIPModel dir: 224x224 vision (the scorer resizes to 224),
+    # 77-position text (the pipeline tokenizer pads to 77)
+    torch.manual_seed(0)
+    clip_dir = tmp_path / "clip"
+    CLIPModel(CLIPConfig(
+        text_config=HFTextCfg(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+            num_attention_heads=4, max_position_embeddings=77, vocab_size=100,
+            hidden_act="quick_gelu", projection_dim=24).to_dict(),
+        vision_config=HFVisionCfg(
+            hidden_size=40, intermediate_size=80, num_hidden_layers=2,
+            num_attention_heads=4, image_size=224, patch_size=56,
+            hidden_act="quick_gelu", projection_dim=24).to_dict(),
+        projection_dim=24,
+    )).save_pretrained(str(clip_dir), safe_serialization=True)
+
+    # synthetic 2-image COCO
+    (tmp_path / "imgs").mkdir()
+    for i in (1, 2):
+        Image.fromarray((rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(
+            tmp_path / "imgs" / f"{i}.jpg")
+    label = {
+        "images": [{"id": i, "file_name": f"{i}.jpg"} for i in (1, 2)],
+        "annotations": [
+            {"image_id": 1, "id": 10, "caption": "a photo of a cat"},
+            {"image_id": 2, "id": 20, "caption": "a cat"},
+        ],
+    }
+    lf = tmp_path / "captions.json"
+    lf.write_text(_json.dumps(label))
+
+    # keep the sweep tiny and the generates 32x32 (full sweep covered by
+    # test_evaluation_sweep; this test owns the ARGV path)
+    monkeypatch.setattr(ev, "TEST_CONFIGS",
+                        [{"sampler": "ddim", "use_cosine_schedule": False}])
+    monkeypatch.setattr(ev, "CFG_SCALES", [3.0])
+    from stable_diffusion_tpu.pipeline import StableDiffusion
+
+    orig_gen = StableDiffusion.generate
+
+    def small_gen(self, **kw):
+        kw["img_size"] = (32, 32)
+        return orig_gen(self, **kw)
+
+    monkeypatch.setattr(StableDiffusion, "generate", small_gen)
+    monkeypatch.chdir(tmp_path)  # writer_fn logs into ./runs
+
+    results = ev.main([
+        "--model_path", str(model_dir),
+        "--tokenizer_dir", str(model_dir / "tokenizer"),
+        "--do_cfg", "--sampler", "ddim",
+        "--num_inference_steps", "2",
+        "--original_imgs_dir", str(tmp_path / "imgs"),
+        "--label_file", str(lf),
+        "--clip_model_dir", str(clip_dir),
+        "--fid_backbone", "clip",
+        "--num_samples", "2",
+        "--save_dir", str(tmp_path / "out"),
+        "--sd_version", "2.1",
+        "--seed", "0",
+    ])
+    tag = "3.0_ddim_linearSchedule"
+    assert tag in results and np.isfinite(results[tag])          # CLIP-score
+    assert f"{tag}/fid" in results and np.isfinite(results[f"{tag}/fid"])
+    out = tmp_path / "out"
+    assert (out / "fake" / tag / "1_10.jpg").exists()
+    assert (out / "original" / "2_20.jpg").exists()

@@ -213,6 +213,38 @@ def test_int8_conv_under_shard_map(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_bf16_conv_under_shard_map(rng):
+    """The bf16/f32 Pallas tap-matmul conv3x3 (interpret mode) under
+    shard_map, batch sharded on "data" — parity vs the sharded XLA conv.
+    Closes the kernel x GSPMD family: flash self/cross attention and the
+    int8 conv were covered; this pins the remaining custom-call."""
+    from jax.experimental.pallas import tpu as pltpu
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from stable_diffusion_tpu.ops import conv as conv_ops
+
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("data",))
+    c = 320
+    x = jnp.asarray(rng.standard_normal((2, 32, 32, c), dtype=np.float32))
+    kernel = jnp.asarray(
+        0.05 * rng.standard_normal((3, 3, c, c), dtype=np.float32))
+    bias = jnp.asarray(rng.standard_normal(c, dtype=np.float32))
+    assert conv_ops.supported(
+        jnp.zeros((1, 32, 32, c)), jnp.zeros((3, 3, c, c)), 1, "SAME")
+
+    want = np.asarray(conv_ops._xla_conv(x, kernel, bias))
+    xspec = P("data", None, None, None)
+    xs = jax.device_put(x, NamedSharding(mesh, xspec))
+    sharded = jax.jit(
+        jax.shard_map(lambda xx: conv_ops._conv3x3(xx, kernel, bias),
+                      mesh=mesh, check_vma=False,
+                      in_specs=(xspec,), out_specs=xspec)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(sharded(xs))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
 def test_sharded_inference(rng):
     """pipe.shard(mesh): tensor-parallel generation on the 8-way CPU mesh
     equals the unsharded result (GSPMD collectives, numerics preserved)."""
