@@ -58,9 +58,12 @@ BENCH_BLOCKS = int(os.environ.get("BENCH_BLOCKS", "3"))
 
 
 def _robust(run, repeats, pipelined):
-    """Median-of-blocks timing: returns (dt_median, spread_frac)."""
+    """Median-of-blocks timing: returns (dt_median, spread_frac).  Per-block
+    times go to stderr so a relay stall (observed: one ~60 s hiccup in an
+    otherwise 4.8 s/block run) is diagnosable from the log."""
     f = _timed_pipelined if pipelined else _timed
     dts = sorted(f(run, repeats) for _ in range(BENCH_BLOCKS))
+    print(f"_robust blocks (s): {[round(d, 3) for d in dts]}", file=sys.stderr)
     med = dts[len(dts) // 2]
     return med, (dts[-1] - dts[0]) / med if len(dts) > 1 else 0.0
 
