@@ -166,13 +166,13 @@ def build_parser():
     parser.add_argument("--tokenizer_dir", metavar="", default="")
     parser.add_argument("--device", metavar="", default="tpu", type=str)
     parser.add_argument("--lora_ckpt", metavar="", default="", type=str)
-    parser.add_argument("--do_cfg", metavar="", action=argparse.BooleanOptionalAction)
+    parser.add_argument("--do_cfg", action=argparse.BooleanOptionalAction)
     parser.add_argument("--cfg_scale", metavar="", default=7.5, type=float)
     parser.add_argument("--strength", metavar="", default=1.0, type=float)
     parser.add_argument("--num_inference_steps", default=50, choices=range(1, 1001),
                         metavar="Value: [1-1000]", type=int)
     parser.add_argument("--sampler", metavar="", default="ddpm", choices=["ddpm", "ddim"], type=str)
-    parser.add_argument("--use_cosine_schedule", metavar="", action=argparse.BooleanOptionalAction)
+    parser.add_argument("--use_cosine_schedule", action=argparse.BooleanOptionalAction)
     parser.add_argument("--original_imgs_dir", default="./val2017", type=str)
     parser.add_argument("--label_file", default="./annotations/captions_val2017.json", type=str)
     parser.add_argument("--save_dir", default="./eval_output", type=str)

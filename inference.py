@@ -73,16 +73,16 @@ def build_parser():
     parser.add_argument("--uncond_prompt", metavar="", default="", type=str, help="Unconditional prompt")
     parser.add_argument("--n_samples", metavar="", default=3, type=int, help="Number of generated images")
     parser.add_argument("--lora_ckpt", metavar="", default="", type=str, help="Option to use lora checkpoint")
-    parser.add_argument("--do_cfg", metavar="", action=argparse.BooleanOptionalAction, help="Activate CFG")
+    parser.add_argument("--do_cfg", action=argparse.BooleanOptionalAction, help="Activate CFG")
     parser.add_argument("--cfg_scale", metavar="", default=7.5, type=float, help="CFG scale")
     parser.add_argument("--strength", metavar="", default=1.0, type=float, help="img2img strength")
     parser.add_argument("--num_inference_steps", help="Step to generate image", default=50,
                         choices=range(1, 1001), metavar="Value: [1-1000]", type=int)
     parser.add_argument("--sampler", metavar="", default="ddpm", choices=["ddpm", "ddim"], type=str)
-    parser.add_argument("--use_cosine_schedule", metavar="", action=argparse.BooleanOptionalAction)
+    parser.add_argument("--use_cosine_schedule", action=argparse.BooleanOptionalAction)
     parser.add_argument("--batch_size", metavar="", default=1, type=int, help="Batch size")
     parser.add_argument("--seed", default=None, type=int, help="Seed value")
-    parser.add_argument("--one_step", metavar="", action=argparse.BooleanOptionalAction, help="One step generation")
+    parser.add_argument("--one_step", action=argparse.BooleanOptionalAction, help="One step generation")
     parser.add_argument("--sd_version", default="1.5", type=str, help="Stable Diffusion Model Version")
     parser.add_argument("--output_dir", default="./output", type=str, help="Where to save images")
     parser.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"], type=str)

@@ -245,9 +245,9 @@ class StableDiffusion:
 
     def generate(
         self,
-        prompt: str,
+        prompt: str | Sequence[str],
         *,
-        uncond_prompt: str = "",
+        uncond_prompt: str | Sequence[str] = "",
         input_image=None,
         img_size: Tuple[int, int] = (512, 512),
         do_cfg: bool = True,
@@ -286,7 +286,30 @@ class StableDiffusion:
         ``context`` supplies precomputed conditioning (B[, S], D) directly —
         the class-conditional "class2img" mode of the demo stack
         (demo/models/diffusion.py:40-42) passes ClassEncoder embeddings here.
+
+        ``prompt``/``uncond_prompt`` may also be a SEQUENCE of strings — one
+        per batch lane — so a serving batch can carry distinct requests
+        (beyond the reference, whose surface is single-prompt,
+        diffusion.py:131-141; same program, no recompile: only the token
+        ids change).  A prompt list sets ``batch_size`` to its length.
         """
+        if not isinstance(prompt, str):
+            prompts = list(prompt)
+            if batch_size not in (1, len(prompts)):
+                raise ValueError(
+                    f"batch_size={batch_size} conflicts with a "
+                    f"{len(prompts)}-prompt list; omit batch_size or match it")
+            batch_size = len(prompts)
+        else:
+            prompts = [prompt] * batch_size
+        if not isinstance(uncond_prompt, str):
+            uncond_prompts = list(uncond_prompt)
+            if len(uncond_prompts) != batch_size:
+                raise ValueError(
+                    f"uncond_prompt list has {len(uncond_prompts)} entries "
+                    f"for batch_size={batch_size}")
+        else:
+            uncond_prompts = [uncond_prompt] * batch_size
         schedule = self.make_schedule(use_cosine_schedule)
         h, w = img_size
         lat_shape = (batch_size, h // 8, w // 8, 4)
@@ -302,9 +325,9 @@ class StableDiffusion:
             if context.ndim == 2:
                 context = context[:, None, :]
         if cond_ids is None and context is None:
-            cond_ids = np.repeat(self.tokenize([prompt]), batch_size, axis=0)
+            cond_ids = self.tokenize(prompts)
         if do_cfg and uncond_ids is None and context is None:
-            uncond_ids = np.repeat(self.tokenize([uncond_prompt]), batch_size, axis=0)
+            uncond_ids = self.tokenize(uncond_prompts)
 
         # --- timestep sequence (static per (steps, strength)) ---
         ts = S.inference_timesteps(schedule, inference_steps, kind=sampler)
@@ -469,7 +492,7 @@ class StableDiffusion:
 
     def generate_in_one_step(
         self,
-        prompt: str,
+        prompt: str | Sequence[str],
         *,
         img_size: Tuple[int, int] = (512, 512),
         seed: int = 0,
@@ -481,12 +504,15 @@ class StableDiffusion:
         """SwiftBrush one-step generation (reference diffusion.py:57-129).
 
         ``device_output=True`` skips the host fetch and returns the
-        lane-packed (b, h, w*3) array (see generate())."""
+        lane-packed (b, h, w*3) array (see generate()).  ``prompt`` may be a
+        sequence of strings: fewer prompts than ``batch_size`` cycle over
+        the lanes (the jitted program ceil-tiles the contexts)."""
         h, w = img_size
         lat_shape = (batch_size, h // 8, w // 8, 4)
         key = jax.random.key(seed)
         if cond_ids is None:
-            cond_ids = self.tokenize([prompt])
+            cond_ids = self.tokenize(
+                [prompt] if isinstance(prompt, str) else list(prompt))
         imgs = _one_step_full_jit(
             self.params, jnp.asarray(cond_ids), key, lat_shape, batch_size,
             self.unet_config, self.text_config, self.vae_config, self.impl, self.dtype,

@@ -430,3 +430,46 @@ def test_inpaint_progress_matches(tiny):
     # inpaint truncates the schedule by strength (0.8 of 4 steps -> 3)
     assert calls == [(0, 3), (2, 3), (3, 3)]
     np.testing.assert_allclose(out.astype(np.int32), base.astype(np.int32), atol=1)
+
+
+def test_prompt_list_per_lane(tiny, tmp_path):
+    """A SEQUENCE of prompts fills the batch lanes with distinct requests
+    (serving surface; beyond the reference's single-prompt diffusion.py:131)
+    — exact parity vs hand-built cond_ids, plus the batch_size guards."""
+    import json
+
+    from transformers import CLIPTokenizer
+
+    vocab = {"<|startoftext|>": 0, "<|endoftext|>": 1}
+    for i, w in enumerate(["a</w>", "cat</w>", "photo</w>", "of</w>"]):
+        vocab[w] = i + 2  # ids < tiny vocab_size (100)
+    json.dump(vocab, open(tmp_path / "vocab.json", "w"))
+    open(tmp_path / "merges.txt", "w").write("#version: 0.2\n")
+    pipe, _, _ = tiny
+    pipe.tokenizer = CLIPTokenizer(
+        str(tmp_path / "vocab.json"), str(tmp_path / "merges.txt"))
+    try:
+        prompts = ["a cat", "photo of a"]
+        ids = pipe.tokenize(prompts)
+        assert ids.shape == (2, 77) and not np.array_equal(ids[0], ids[1])
+        kw = dict(do_cfg=True, cfg_scale=3.0, inference_steps=2,
+                  sampler="ddim", img_size=(64, 64), seed=5)
+        want = pipe.generate(prompt="", cond_ids=ids,
+                             uncond_ids=pipe.tokenize(["", "cat"]),
+                             batch_size=2, **kw)
+        got = pipe.generate(prompt=prompts, uncond_prompt=["", "cat"], **kw)
+        np.testing.assert_array_equal(got, want)
+
+        # one-step shares the surface (contexts ceil-tile over lanes)
+        w1 = pipe.generate_in_one_step(prompt="", cond_ids=ids, batch_size=2,
+                                       img_size=(64, 64), seed=3)
+        g1 = pipe.generate_in_one_step(prompt=prompts, batch_size=2,
+                                       img_size=(64, 64), seed=3)
+        np.testing.assert_array_equal(g1, w1)
+
+        with pytest.raises(ValueError, match="batch_size=3"):
+            pipe.generate(prompt=prompts, batch_size=3, **kw)
+        with pytest.raises(ValueError, match="uncond_prompt"):
+            pipe.generate(prompt=prompts, uncond_prompt=["only-one"], **kw)
+    finally:
+        pipe.tokenizer = None

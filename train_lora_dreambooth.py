@@ -37,18 +37,18 @@ def build_parser():
     p.add_argument("--data_dir", default="data/sprites", type=str, help="Data directory")
     p.add_argument("--img_size", default=32, type=int, help="Image size")
     p.add_argument("--batch_size", default=32, type=int, help="Batch size (per DreamBooth half)")
-    p.add_argument("--use_ema", metavar="", action=argparse.BooleanOptionalAction)
+    p.add_argument("--use_ema", action=argparse.BooleanOptionalAction)
     p.add_argument("--save_dir", default="./checkpoints/", help="Directory to save model")
     p.add_argument("--checkpoint_dir", default="./checkpoints/", help="Directory to save checkpoint")
     p.add_argument("--pretrained_path", default=None, help="Resume checkpoint path")
     p.add_argument("--lr", default=1e-6, type=float, help="Learning rate")
     p.add_argument("--max_train_steps", default=1000, type=int)
-    p.add_argument("--use_lora", metavar="", action=argparse.BooleanOptionalAction)
+    p.add_argument("--use_lora", action=argparse.BooleanOptionalAction)
     p.add_argument("--gradient_accumulation_steps", default=1, type=int)
-    p.add_argument("--gradient_checkpointing", metavar="", action=argparse.BooleanOptionalAction)
-    p.add_argument("--use_flash_attn", metavar="", action=argparse.BooleanOptionalAction)
-    p.add_argument("--train_text_encoder", metavar="", action=argparse.BooleanOptionalAction)
-    p.add_argument("--use_8bit_adam", metavar="", action=argparse.BooleanOptionalAction)
+    p.add_argument("--gradient_checkpointing", action=argparse.BooleanOptionalAction)
+    p.add_argument("--use_flash_attn", action=argparse.BooleanOptionalAction)
+    p.add_argument("--train_text_encoder", action=argparse.BooleanOptionalAction)
+    p.add_argument("--use_8bit_adam", action=argparse.BooleanOptionalAction)
     p.add_argument("--seed", default=None, type=int)
     p.add_argument("--num_class_prior_images", default=None, type=int)
     p.add_argument("--sd_version", default="1.5", type=str)
@@ -60,7 +60,7 @@ def build_parser():
     p.add_argument("--lr_warmup_steps", default=0, type=int)
     p.add_argument("--profile_dir", default="", type=str,
                    help="Capture an XLA/TPU trace of the first epoch (TensorBoard profile plugin)")
-    p.add_argument("--cache_latents", metavar="", action=argparse.BooleanOptionalAction,
+    p.add_argument("--cache_latents", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="Precompute the frozen VAE's per-image (mean, std) moments and the "
                         "frozen text embeddings ONCE and train from the cache. Exact, not an "
