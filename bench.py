@@ -64,7 +64,11 @@ def _robust(run, repeats, pipelined, blocks=None):
     overrides BENCH_BLOCKS for configs whose blocks are cheap enough that
     extra medians are nearly free."""
     f = _timed_pipelined if pipelined else _timed
-    dts = sorted(f(run, repeats) for _ in range(blocks or BENCH_BLOCKS))
+    # warmup/compile happens once (block 1); later blocks skip it — the
+    # warmup run is untimed, so medians are unaffected, but each skipped
+    # warmup saves a full untimed batch (~2.5 s at serving batch)
+    dts = sorted(f(run, repeats, warm=b > 0)
+                 for b in range(blocks or BENCH_BLOCKS))
     print(f"_robust blocks (s): {[round(d, 3) for d in dts]}", file=sys.stderr)
     med = dts[len(dts) // 2]
     return med, (dts[-1] - dts[0]) / med if len(dts) > 1 else 0.0
@@ -120,8 +124,9 @@ def build_pipeline(sd_version="1.5", dtype=jnp.bfloat16, int8=""):
     )
 
 
-def _timed(run, repeats):
-    run(0)  # warmup + compile
+def _timed(run, repeats, warm=False):
+    if not warm:
+        run(0)  # warmup + compile
     t0 = time.perf_counter()
     for i in range(repeats):
         out = run(i + 1)
@@ -225,7 +230,7 @@ def bench_sd21_txt2img_768(repeats):
     }
 
 
-def _timed_pipelined(dispatch, repeats):
+def _timed_pipelined(dispatch, repeats, warm=False):
     """Steady-state serving throughput: dispatch batch k+1 BEFORE fetching
     batch k, so the host transfer of a finished batch overlaps the next
     batch's device compute.  ``dispatch`` must return an UNFETCHED jax.Array
@@ -238,8 +243,9 @@ def _timed_pipelined(dispatch, repeats):
     pipelining measured WORSE — see BASELINE.md round-4 transfer table)."""
     from stable_diffusion_tpu.pipeline import _unpack_images
 
-    _unpack_images(dispatch(0))  # warmup + compile
-    prev = dispatch(1)
+    if not warm:
+        _unpack_images(dispatch(0))  # warmup + compile
+    prev = dispatch(1)  # priming batch: every block needs a primed pipeline
     prev.copy_to_host_async()
     t0 = time.perf_counter()
     for i in range(repeats):
@@ -445,7 +451,10 @@ def main():
             customized = (batch != 1 or steps != 50
                           or bool(os.environ.get("BENCH_INT8"))
                           or bool(os.environ.get("BENCH_DEEPCACHE")))
-            if not customized and os.environ.get("BENCH_ALL", "1") != "0":
+            # an EXPLICIT BENCH_CONFIG=sd15_txt2img means this config alone
+            # (docstring contract) — only ""/"all" fan out to the extras
+            if (name in ("", "all") and not customized
+                    and os.environ.get("BENCH_ALL", "1") != "0"):
                 print(json.dumps(result), flush=True)
                 extras = [
                     ("train", bench_train_step),

@@ -506,13 +506,26 @@ class StableDiffusion:
         ``device_output=True`` skips the host fetch and returns the
         lane-packed (b, h, w*3) array (see generate()).  ``prompt`` may be a
         sequence of strings: fewer prompts than ``batch_size`` cycle over
-        the lanes (the jitted program ceil-tiles the contexts)."""
+        the lanes (the jitted program ceil-tiles the contexts); MORE prompts
+        than ``batch_size`` set the batch to the list length (as generate()
+        does) — an explicit smaller batch_size is a ValueError, never a
+        silent drop."""
+        if not isinstance(prompt, str):
+            prompts = list(prompt)
+            if len(prompts) > batch_size:
+                if batch_size != 1:
+                    raise ValueError(
+                        f"batch_size={batch_size} conflicts with a "
+                        f"{len(prompts)}-prompt list; omit batch_size or "
+                        f"pass at most batch_size prompts")
+                batch_size = len(prompts)
+        else:
+            prompts = [prompt]
         h, w = img_size
         lat_shape = (batch_size, h // 8, w // 8, 4)
         key = jax.random.key(seed)
         if cond_ids is None:
-            cond_ids = self.tokenize(
-                [prompt] if isinstance(prompt, str) else list(prompt))
+            cond_ids = self.tokenize(prompts)
         imgs = _one_step_full_jit(
             self.params, jnp.asarray(cond_ids), key, lat_shape, batch_size,
             self.unet_config, self.text_config, self.vae_config, self.impl, self.dtype,

@@ -269,7 +269,10 @@ def precompute_latent_moments(
     dtype=None,
 ):
     """Run the frozen VAE encoder ONCE over ``images`` — an (N,H,W,3) array
-    in [-1,1] — and return host-side (mean, std) arrays, each (N,h,w,4).
+    in [-1,1], or any len()/index-able sequence of (H,W,3) images (so a
+    large class-prior set streams through ``micro_batch`` images at a time
+    instead of being materialized as one float32 stack on the host) — and
+    return host-side (mean, std) arrays, each (N,h,w,4).
 
     This is exact, not an approximation: the dataset transforms are
     deterministic (resize-only, utils/datasets.py:38-46 — the reference's
@@ -286,11 +289,12 @@ def precompute_latent_moments(
     import numpy as np
 
     enc = jax.jit(lambda x: vae_m.encode_moments(vae_params, x, vcfg, impl=impl))
-    n = images.shape[0]
+    n = len(images)
     mb = min(micro_batch, n)
     means, stds = [], []
     for start in range(0, n, mb):
-        chunk = images[start : start + mb]
+        chunk = np.stack(
+            [np.asarray(images[i]) for i in range(start, min(start + mb, n))])
         pad = mb - chunk.shape[0]
         if pad:
             chunk = np.concatenate([chunk, chunk[-1:].repeat(pad, axis=0)])

@@ -467,9 +467,18 @@ def test_prompt_list_per_lane(tiny, tmp_path):
                                        img_size=(64, 64), seed=3)
         np.testing.assert_array_equal(g1, w1)
 
+        # MORE prompts than the (default) batch grow the batch, exactly as
+        # generate() does — never a silent drop of trailing requests
+        g2 = pipe.generate_in_one_step(prompt=prompts, img_size=(64, 64),
+                                       seed=3)
+        np.testing.assert_array_equal(g2, w1)
+
         with pytest.raises(ValueError, match="batch_size=3"):
             pipe.generate(prompt=prompts, batch_size=3, **kw)
         with pytest.raises(ValueError, match="uncond_prompt"):
             pipe.generate(prompt=prompts, uncond_prompt=["only-one"], **kw)
+        with pytest.raises(ValueError, match="3-prompt list"):
+            pipe.generate_in_one_step(prompt=prompts + ["a"], batch_size=2,
+                                      img_size=(64, 64))
     finally:
         pipe.tokenizer = None

@@ -201,14 +201,23 @@ def train(args, base_params, ucfg, tcfg, vcfg, tokenizer):
     if args.cache_latents:
         ds = train_dl.dataset
         t_pre = time.time()
+        # lazy per-image accessors: precompute streams micro_batch images at
+        # a time, so a 1000-image prior set never sits on the host as one
+        # ~3 GB float32 stack
+        class _Lazy:
+            def __init__(self, get, n):
+                self._get, self._n = get, n
+            def __len__(self):
+                return self._n
+            def __getitem__(self, i):
+                return self._get(i)
+
         inst_mean, inst_std = T.precompute_latent_moments(
-            base_params["vae"],
-            np.stack([ds.instance_pixels(i) for i in range(ds.num_instance)]),
+            base_params["vae"], _Lazy(ds.instance_pixels, ds.num_instance),
             vcfg, impl=impl,
         )
         cls_mean, cls_std = T.precompute_latent_moments(
-            base_params["vae"],
-            np.stack([ds.class_pixels(i) for i in range(ds.num_class)]),
+            base_params["vae"], _Lazy(ds.class_pixels, ds.num_class),
             vcfg, impl=impl,
         )
         ids_pair = tokenizer.pad(
