@@ -41,6 +41,26 @@ def pytest_configure(config):
     )
 
 
+# Release compiled executables between test MODULES.  A full-suite run in one
+# process accumulates hundreds of loaded XLA:CPU executables (each holds JIT
+# code mappings); ~140 tests in, the process aborts (SIGABRT, no Python
+# exception) inside backend.deserialize_executable on a persistent-cache READ
+# — resource exhaustion in the C++ runtime, not a corrupt entry (every entry
+# loads fine in a fresh process; vm.max_map_count is the prime suspect).
+# jax.clear_caches() drops the pjit caches so the executables free; re-jits
+# reload from the persistent disk cache above in milliseconds.
+_last_module = [None]
+
+
+def pytest_runtest_setup(item):
+    mod = getattr(item, "module", None)
+    name = getattr(mod, "__name__", None)
+    if name != _last_module[0]:
+        if _last_module[0] is not None:
+            jax.clear_caches()
+        _last_module[0] = name
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
